@@ -1,0 +1,184 @@
+"""Typed configuration system.
+
+The reference repo exposes no config files (documentation-only; see SURVEY.md
+§5 "Config / flag system"), so this module defines the build's own typed
+dataclass configs plus the five named presets matching
+`/root/repo/BASELINE.json:configs[0..4]`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+from golfaction_tpu import graph
+
+# Golf swing-phase label set (GolfDB-style event phases + background), the
+# per-frame class space of the action-segmentation head
+# (reference README.md:17 "ACTION SEGMENTATION MODEL").
+SWING_PHASES = (
+    "background",
+    "address",
+    "takeaway",
+    "backswing",
+    "top",
+    "downswing",
+    "impact",
+    "follow_through",
+    "finish",
+)
+NUM_PHASES = len(SWING_PHASES)
+
+# Swing-fault taxonomy for the error-detection head (reference README.md:19
+# "ERROR DETECTION MODEL"); multi-label binary flags.
+SWING_ERRORS = (
+    "swaying",            # lateral hip slide in backswing
+    "hanging_back",       # weight stays on trail side at impact
+    "early_extension",    # hips move toward ball in downswing
+    "over_the_top",       # downswing plane above backswing plane
+    "casting",            # early wrist release
+    "reverse_spine",      # upper body tilts toward target at top
+    "chicken_wing",       # lead elbow breaks down after impact
+    "head_movement",      # excessive head drift
+)
+NUM_ERRORS = len(SWING_ERRORS)
+
+
+@dataclasses.dataclass(frozen=True)
+class PoseConfig:
+    """Top-down heatmap pose model (reference README.md:15)."""
+
+    input_hw: tuple[int, int] = (256, 192)      # crop H, W fed to the backbone
+    heatmap_hw: tuple[int, int] = (64, 48)      # output heatmap H, W (stride 4)
+    num_joints: int = graph.NUM_JOINTS
+    # Backbone: ResNet-style stages; (blocks, channels) per stage.
+    stage_blocks: tuple[int, ...] = (2, 2, 2, 2)
+    stage_channels: tuple[int, ...] = (64, 128, 256, 512)
+    # SimpleBaseline-style deconv head.
+    deconv_channels: tuple[int, ...] = (256, 256)
+    dtype: str = "bfloat16"                      # compute dtype on TPU
+    udp: bool = True                             # sub-pixel (UDP-style) decode
+    sigma: float = 2.0                           # target heatmap gaussian sigma
+
+
+@dataclasses.dataclass(frozen=True)
+class GCNConfig:
+    """Skeleton GCN action segmentation (reference README.md:17,26-34)."""
+
+    num_joints: int = graph.NUM_JOINTS
+    in_channels: int = 3                         # (x, y, score)
+    num_phases: int = NUM_PHASES
+    # (out_channels, temporal_stride) per block. Strides stay 1: the head is
+    # per-frame, so temporal resolution is preserved end to end.
+    block_channels: tuple[int, ...] = (64, 64, 128, 128, 256, 256)
+    # Multi-branch temporal conv: (kernel, dilation) branches + maxpool branch.
+    temporal_branches: tuple[tuple[int, int], ...] = ((3, 1), (3, 2), (3, 3), (3, 4))
+    channel_att_reduction: int = 4
+    graph_strategy: str = "spatial"
+    dropout: float = 0.1
+    dtype: str = "bfloat16"
+
+
+@dataclasses.dataclass(frozen=True)
+class AlignConfig:
+    """Temporal-alignment embedding net + soft-DTW (reference README.md:21,44-52)."""
+
+    num_joints: int = graph.NUM_JOINTS
+    in_channels: int = 3
+    embed_dim: int = 128
+    hidden_channels: tuple[int, ...] = (64, 128)
+    temporal_kernel: int = 5
+    gamma: float = 0.1                           # soft-DTW smoothing
+    normalize_embeddings: bool = True
+    dtype: str = "bfloat16"
+
+
+@dataclasses.dataclass(frozen=True)
+class ErrorConfig:
+    """Swing-error classifier (reference README.md:19)."""
+
+    num_errors: int = NUM_ERRORS
+    num_phases: int = NUM_PHASES
+    num_joints: int = graph.NUM_JOINTS
+    in_channels: int = 3
+    hidden_dim: int = 256
+    dtype: str = "bfloat16"
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh layout for pjit/shard_map (SURVEY.md §2 parallelism table)."""
+
+    data_axis: str = "data"
+    model_axis: str = "model"                    # reserved; models are small
+    data_parallel: int = -1                      # -1 = all devices
+    model_parallel: int = 1
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    """End-to-end orchestrator (BASELINE config 5)."""
+
+    pose: PoseConfig = PoseConfig()
+    gcn: GCNConfig = GCNConfig()
+    align: AlignConfig = AlignConfig()
+    error: ErrorConfig = ErrorConfig()
+    mesh: MeshConfig = MeshConfig()
+    frame_batch: int = 32                        # frames per pose micro-batch
+    # Clip lengths are padded up to the nearest bucket so jit never retraces.
+    length_buckets: tuple[int, ...] = (64, 128, 256, 512)
+    video_hw: tuple[int, int] = (1080, 1920)
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    batch_size: int = 32
+    learning_rate: float = 1e-3
+    weight_decay: float = 1e-4
+    warmup_steps: int = 100
+    total_steps: int = 1000
+    seed: int = 0
+    checkpoint_dir: str = "/tmp/golfaction_ckpt"
+    checkpoint_every: int = 200
+
+
+def _preset_pose_single() -> PipelineConfig:
+    # config 1: single-image pose inference, CPU-runnable.
+    return PipelineConfig(frame_batch=1)
+
+
+def _preset_clip_pose() -> PipelineConfig:
+    # config 2: batched clip preprocessing + pose at 30 fps.
+    return PipelineConfig(frame_batch=32)
+
+
+def _preset_segmentation() -> PipelineConfig:
+    # config 3: skeleton GCN action segmentation.
+    return PipelineConfig()
+
+
+def _preset_alignment() -> PipelineConfig:
+    # config 4: soft-DTW pro-vs-amateur alignment.
+    return PipelineConfig()
+
+
+def _preset_full_pipeline() -> PipelineConfig:
+    # config 5: multi-clip pipelined end-to-end analysis.
+    return PipelineConfig(frame_batch=64)
+
+
+# Named presets matching BASELINE.json:configs[0..4].
+PRESETS = {
+    "pose_single": _preset_pose_single,
+    "clip_pose": _preset_clip_pose,
+    "segmentation": _preset_segmentation,
+    "alignment": _preset_alignment,
+    "full_pipeline": _preset_full_pipeline,
+}
+
+
+def get_config(name: str = "full_pipeline", **overrides) -> PipelineConfig:
+    cfg = PRESETS[name]()
+    if overrides:
+        cfg = dataclasses.replace(cfg, **overrides)
+    return cfg

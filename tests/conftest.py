@@ -1,0 +1,20 @@
+"""Test harness configuration.
+
+All tests run on CPU with 8 virtual XLA devices so that every pjit/shard_map
+sharding path is exercised without TPU hardware (SURVEY.md §4).  Pallas
+kernels run in interpret mode on CPU via golfaction_tpu.ops.pallas dispatch.
+"""
+
+import os
+
+# Must be set before jax is imported anywhere.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_threefry_partitionable", True)

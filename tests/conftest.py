@@ -17,4 +17,7 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The env var alone is not enough: the axon TPU plugin registers itself
+# regardless, so explicitly pin the platform (this is what actually works).
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)

@@ -323,6 +323,54 @@ def _hard_forward(D: jnp.ndarray) -> jnp.ndarray:
     return diags[(i + j), jnp.broadcast_to(i, (Ta, Tb))]
 
 
+# ---------------------------------------------------------------------------
+# Masked-length variants (bucketed/padded sequences)
+# ---------------------------------------------------------------------------
+# The DP flows strictly forward, so R[0:la, 0:lb] of the full padded table is
+# identical to the table of the trimmed problem — reading the corner at
+# (la-1, lb-1) gives the exact cost/path without dynamic shapes
+# (SURVEY.md §7 hard part (c): variable lengths without recompilation).
+
+
+def softdtw_cost_masked(D: jnp.ndarray, la, lb, gamma: float) -> jnp.ndarray:
+    """Soft-DTW cost of D[:la, :lb] with static D shape. Forward-only."""
+    R = _forward_scan(D, gamma)
+    return R[la - 1, lb - 1]
+
+
+def dtw_path_masked(D: jnp.ndarray, la, lb):
+    """Hard DTW path of D[:la, :lb]; path padded with -1 to [Ta+Tb-1, 2]."""
+    Ta, Tb = D.shape
+    R = _hard_forward(D)
+    L = Ta + Tb - 1
+
+    def get(i, j):
+        ok = (i >= 0) & (j >= 0)
+        return jnp.where(ok, R[jnp.maximum(i, 0), jnp.maximum(j, 0)], _INF)
+
+    def step(carry, _):
+        i, j, done = carry
+        rd = get(i - 1, j - 1)
+        ru = get(i - 1, j)
+        rl = get(i, j - 1)
+        best = jnp.argmin(jnp.stack([rd, ru, rl]))
+        ni = jnp.where(best != 2, i - 1, i)
+        nj = jnp.where(best != 1, j - 1, j)
+        at_origin = (i == 0) & (j == 0)
+        ni = jnp.where(done | at_origin, i, ni)
+        nj = jnp.where(done | at_origin, j, nj)
+        emit = jnp.where(done, jnp.array([-1, -1]), jnp.stack([i, j]))
+        return (ni, nj, done | at_origin), emit
+
+    start = (jnp.asarray(la - 1, jnp.int32), jnp.asarray(lb - 1, jnp.int32),
+             jnp.bool_(False))
+    _, rev = jax.lax.scan(step, start, None, length=L)
+    length = jnp.sum(jnp.int32(rev[:, 0] >= 0))
+    idx = jnp.arange(L)
+    src = jnp.where(idx < length, length - 1 - idx, idx)
+    return rev[src].astype(jnp.int32), length
+
+
 # Batched convenience wrappers.
 softdtw_cost_batch = jax.vmap(softdtw_cost, in_axes=(0, None))
 softdtw_with_alignment_batch = jax.vmap(softdtw_with_alignment, in_axes=(0, None))

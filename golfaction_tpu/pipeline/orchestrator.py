@@ -1,0 +1,228 @@
+"""End-to-end pipeline orchestrator (BASELINE config 5).
+
+Realizes the system's public contract (BASELINE.json north_star; SURVEY.md
+§3.1): video in -> per-frame keypoints, swing-phase labels, alignment path,
+error flags out.
+
+TPU-first structure:
+  * One jitted `_core` program per (bucket length): preprocess -> pose ->
+    decode -> skeleton normalize -> GCN -> error head, fused on-device with
+    zero host round-trips between stages; the only fetch is the final
+    result pytree (SURVEY.md §3.1 "single fetch").
+  * Frames stream through the pose stage in fixed micro-batches via
+    `lax.map`, bounding preprocess/backbone memory while keeping every
+    matmul MXU-sized.
+  * Clip lengths are padded to configured buckets so jit compiles once per
+    bucket and never retraces (SURVEY.md §7 hard part (c)).
+  * `analyze_batch` dispatches every clip before fetching any result:
+    JAX's async dispatch overlaps host decode of clip i+1 with device
+    compute of clip i — the "pipelined across clips" requirement of
+    BASELINE config 5.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from golfaction_tpu import types
+from golfaction_tpu.config import PipelineConfig, get_config
+from golfaction_tpu.models import align as align_mod
+from golfaction_tpu.models import error as error_mod
+from golfaction_tpu.models import gcn as gcn_mod
+from golfaction_tpu.models import pose as pose_mod
+from golfaction_tpu.ops import affine, heatmap, preprocess, softdtw
+from golfaction_tpu.pipeline import video_io
+
+
+class Pipeline:
+    """Holds the four models + jitted stage programs.
+
+    `params` is a dict {"pose", "gcn", "align", "error"} of flax param
+    pytrees; pass trained params or let the constructor random-init
+    (useful for shape/perf work and tests).
+    """
+
+    def __init__(
+        self,
+        cfg: PipelineConfig | None = None,
+        params: dict | None = None,
+        seed: int = 0,
+    ):
+        self.cfg = cfg or get_config()
+        c = self.cfg
+        self.pose_model = pose_mod.create_pose_model(c.pose)
+        self.gcn_model = gcn_mod.create_gcn_model(c.gcn)
+        self.align_model = align_mod.create_align_model(c.align)
+        self.error_model = error_mod.create_error_model(c.error)
+        self.params = params if params is not None else self.init_params(seed)
+
+        self._core = jax.jit(self._core_fn)
+        self._align = jax.jit(self._align_fn)
+        self._pose_only = jax.jit(self._pose_fn)
+
+    # ------------------------------------------------------------------
+    # Parameter init
+    # ------------------------------------------------------------------
+    def init_params(self, seed: int = 0) -> dict:
+        c = self.cfg
+        k1, k2, k3, k4 = jax.random.split(jax.random.key(seed), 4)
+        t0 = 8
+        crops = jnp.zeros((1, *c.pose.input_hw, 3), jnp.float32)
+        sk = jnp.zeros((1, t0, c.gcn.num_joints, c.gcn.in_channels))
+        valid = jnp.ones((1, t0), bool)
+        phases = jnp.zeros((1, t0, c.gcn.num_phases))
+        return {
+            "pose": self.pose_model.init(k1, crops),
+            "gcn": self.gcn_model.init(k2, sk, valid),
+            "align": self.align_model.init(k3, sk, valid),
+            "error": self.error_model.init(k4, sk, phases, valid),
+        }
+
+    # ------------------------------------------------------------------
+    # Jitted device programs
+    # ------------------------------------------------------------------
+    def _pose_fn(self, params, frames, boxes):
+        """frames [T, H, W, 3] uint8, boxes [T, 4] -> keypoints [T, V, 3]."""
+        c = self.cfg
+        boxes = affine.box_to_center_scale(
+            boxes, aspect_ratio=c.pose.input_hw[1] / c.pose.input_hw[0]
+        )
+        mb = min(c.frame_batch, frames.shape[0])
+        T = frames.shape[0]
+
+        def one_batch(args):
+            f, b = args
+            crops = preprocess.crop_resize_normalize(f, b, c.pose.input_hw)
+            hm = self.pose_model.apply(params["pose"], crops)
+            return heatmap.decode_heatmaps(hm, method="udp" if c.pose.udp else "quarter")
+
+        if T % mb == 0 and T > mb:
+            fr = frames.reshape(T // mb, mb, *frames.shape[1:])
+            bx = boxes.reshape(T // mb, mb, 4)
+            kpts_hm = jax.lax.map(one_batch, (fr, bx)).reshape(T, c.pose.num_joints, 3)
+        else:
+            kpts_hm = one_batch((frames, boxes))
+        return heatmap.keypoints_to_image(
+            kpts_hm, boxes, c.pose.heatmap_hw, c.pose.input_hw
+        )
+
+    def _core_fn(self, params, frames, boxes, valid):
+        """Full single-clip device program: pose -> GCN -> error."""
+        c = self.cfg
+        kpts = self._pose_fn(params, frames, boxes)           # [T, V, 3]
+        sk = gcn_mod.normalize_skeleton(kpts[None], valid[None])
+        logits = self.gcn_model.apply(params["gcn"], sk, valid[None])  # [1,T,P]
+        err_logits = self.error_model.apply(
+            params["error"], sk, logits, valid[None]
+        )                                                      # [1, E]
+        labels = jnp.where(valid, jnp.argmax(logits[0], -1), -1)
+        return {
+            "keypoints": kpts,
+            "phase_logits": logits[0],
+            "phase_labels": labels.astype(jnp.int32),
+            "error_logits": err_logits[0],
+        }
+
+    def _align_fn(self, params, kpts_a, valid_a, kpts_b, valid_b):
+        """Soft-DTW alignment between two keypoint sequences."""
+        c = self.cfg
+        sa = gcn_mod.normalize_skeleton(kpts_a[None], valid_a[None])
+        sb = gcn_mod.normalize_skeleton(kpts_b[None], valid_b[None])
+        ea = self.align_model.apply(params["align"], sa, valid_a[None])[0]
+        eb = self.align_model.apply(params["align"], sb, valid_b[None])[0]
+        D = softdtw.pairwise_sqdist(ea, eb)
+        la = jnp.maximum(valid_a.sum().astype(jnp.int32), 1)
+        lb = jnp.maximum(valid_b.sum().astype(jnp.int32), 1)
+        cost = softdtw.softdtw_cost_masked(D, la, lb, c.align.gamma)
+        path, length = softdtw.dtw_path_masked(D, la, lb)
+        return {"cost": cost, "path": path, "path_length": length}
+
+    # ------------------------------------------------------------------
+    # Host-facing API
+    # ------------------------------------------------------------------
+    def _prepare(self, frames: np.ndarray, boxes: Optional[np.ndarray]):
+        if boxes is None:
+            boxes = video_io.estimate_person_boxes(frames)
+        return video_io.pad_to_bucket(frames, boxes, self.cfg.length_buckets)
+
+    def analyze(
+        self,
+        video: Union[str, np.ndarray],
+        boxes: Optional[np.ndarray] = None,
+        reference: Optional[types.Skeleton] = None,
+        error_threshold: float = 0.5,
+    ) -> types.AnalysisResult:
+        """Analyze one swing clip.  `video` is a path or frames [T, H, W, 3].
+
+        Returns an AnalysisResult (device arrays; a single fetch happens when
+        the caller reads them).  If `reference` (a Skeleton, e.g. a pro
+        swing from a previous `analyze`) is given, the soft-DTW alignment is
+        included (reference README.md:50-52 "Compare 2 skeleton").
+        """
+        if isinstance(video, str):
+            frames, _ = video_io.load_video(video)
+        else:
+            frames = np.asarray(video)
+        frames_p, boxes_p, valid = self._prepare(frames, boxes)
+        out = self._core(
+            self.params, jnp.asarray(frames_p), jnp.asarray(boxes_p),
+            jnp.asarray(valid),
+        )
+        alignment = None
+        if reference is not None:
+            a = self._align(
+                self.params,
+                out["keypoints"], jnp.asarray(valid),
+                jnp.asarray(reference.keypoints), jnp.asarray(reference.valid),
+            )
+            alignment = types.AlignmentResult(
+                cost=a["cost"], path=a["path"], path_length=a["path_length"]
+            )
+        probs = jax.nn.sigmoid(out["error_logits"])
+        return types.AnalysisResult(
+            keypoints=out["keypoints"],
+            phase_labels=out["phase_labels"],
+            phase_logits=out["phase_logits"],
+            error_flags=probs > error_threshold,
+            error_probs=probs,
+            valid=jnp.asarray(valid),
+            alignment=alignment,
+        )
+
+    def analyze_batch(
+        self,
+        videos: Sequence[Union[str, np.ndarray]],
+        boxes: Optional[Sequence[np.ndarray]] = None,
+    ) -> list[types.AnalysisResult]:
+        """Analyze many clips with decode/compute overlap (config 5).
+
+        All device programs are dispatched before any result is fetched;
+        host-side decode of clip i+1 runs while the device crunches clip i.
+        """
+        results = []
+        for i, v in enumerate(videos):
+            b = None if boxes is None else boxes[i]
+            results.append(self.analyze(v, boxes=b))
+        # Materialize everything with one blocking sweep.
+        jax.block_until_ready([r.keypoints for r in results])
+        return results
+
+    def extract_skeleton(self, result: types.AnalysisResult) -> types.Skeleton:
+        return types.Skeleton(keypoints=result.keypoints, valid=result.valid)
+
+
+@functools.lru_cache(maxsize=4)
+def _default_pipeline(preset: str) -> Pipeline:
+    return Pipeline(get_config(preset))
+
+
+def analyze(
+    video, boxes=None, reference=None, preset: str = "full_pipeline"
+) -> types.AnalysisResult:
+    """Module-level convenience: analyze one clip with a cached Pipeline."""
+    return _default_pipeline(preset).analyze(video, boxes=boxes, reference=reference)

@@ -1,0 +1,131 @@
+"""End-to-end pipeline orchestrator tests (tiny configs, CPU)."""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from golfaction_tpu import config as cfg_mod
+from golfaction_tpu.ops import softdtw
+from golfaction_tpu.pipeline import orchestrator, video_io
+
+TINY = cfg_mod.PipelineConfig(
+    pose=cfg_mod.PoseConfig(
+        input_hw=(64, 48), heatmap_hw=(16, 12),
+        stage_blocks=(1, 1, 1), stage_channels=(8, 16, 32),
+        deconv_channels=(16, 16), dtype="float32",
+    ),
+    gcn=cfg_mod.GCNConfig(block_channels=(8, 16), temporal_branches=((3, 1), (3, 2)),
+                          dropout=0.0, dtype="float32"),
+    align=cfg_mod.AlignConfig(embed_dim=16, hidden_channels=(8, 16), dtype="float32"),
+    error=cfg_mod.ErrorConfig(hidden_dim=32, dtype="float32"),
+    frame_batch=4,
+    length_buckets=(8, 16),
+    video_hw=(96, 128),
+)
+
+
+def _swing_frames(t=10, h=96, w=128, seed=0):
+    """Synthetic static-camera clip with a moving bright blob (the golfer)."""
+    rng = np.random.default_rng(seed)
+    frames = np.full((t, h, w, 3), 30, np.uint8)
+    frames += rng.integers(0, 10, frames.shape).astype(np.uint8)
+    for i in range(t):
+        cx = 40 + 4 * i
+        frames[i, 20:70, cx - 10 : cx + 10] = 220
+    return frames
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    return orchestrator.Pipeline(TINY, seed=0)
+
+
+def test_analyze_shapes_and_mask(pipe):
+    frames = _swing_frames(t=10)
+    res = pipe.analyze(frames)
+    Tb = 16  # bucket
+    assert res.keypoints.shape == (Tb, 17, 3)
+    assert res.phase_labels.shape == (Tb,)
+    assert res.phase_logits.shape == (Tb, cfg_mod.NUM_PHASES)
+    assert res.error_probs.shape == (cfg_mod.NUM_ERRORS,)
+    v = np.asarray(res.valid)
+    assert v[:10].all() and not v[10:].any()
+    labels = np.asarray(res.phase_labels)
+    assert (labels[10:] == -1).all()
+    assert (labels[:10] >= 0).all()
+    assert np.isfinite(np.asarray(res.keypoints)).all()
+    assert ((np.asarray(res.error_probs) >= 0) & (np.asarray(res.error_probs) <= 1)).all()
+
+
+def test_analyze_with_reference_alignment(pipe):
+    a = pipe.analyze(_swing_frames(t=10, seed=0))
+    skel = pipe.extract_skeleton(a)
+    b = pipe.analyze(_swing_frames(t=7, seed=1), reference=skel)
+    assert b.alignment is not None
+    la = 7   # valid length of b
+    lb = 10  # valid length of reference a
+    length = int(b.alignment.path_length)
+    p = np.asarray(b.alignment.path)[:length]
+    assert tuple(p[0]) == (0, 0)
+    assert tuple(p[-1]) == (la - 1, lb - 1)
+    steps = np.diff(p, axis=0)
+    assert ((steps >= 0) & (steps <= 1)).all() and (steps.sum(axis=1) >= 1).all()
+    assert np.isfinite(float(b.alignment.cost))
+
+
+def test_analyze_batch_matches_single(pipe):
+    clips = [_swing_frames(t=6, seed=2), _swing_frames(t=9, seed=3)]
+    batch = pipe.analyze_batch(clips)
+    single = [pipe.analyze(c) for c in clips]
+    for rb, rs in zip(batch, single):
+        np.testing.assert_allclose(
+            np.asarray(rb.keypoints), np.asarray(rs.keypoints), atol=1e-5
+        )
+        np.testing.assert_array_equal(
+            np.asarray(rb.phase_labels), np.asarray(rs.phase_labels)
+        )
+
+
+def test_bucket_padding_no_retrace(pipe):
+    # Two clips in the same bucket reuse one compiled program.
+    pipe.analyze(_swing_frames(t=5, seed=4))
+    before = pipe._core._cache_size()
+    pipe.analyze(_swing_frames(t=8, seed=5))  # still bucket 8? t=8 -> bucket 8
+    pipe.analyze(_swing_frames(t=6, seed=6))
+    assert pipe._core._cache_size() == before
+
+
+def test_estimate_person_boxes_finds_blob():
+    frames = _swing_frames(t=10)
+    boxes = video_io.estimate_person_boxes(frames)
+    assert boxes.shape == (10, 4)
+    # Blob centers move from x=40 to x=76, y≈45: boxes should track the region.
+    assert 30 < boxes[:, 0].mean() < 90
+    assert 20 < boxes[:, 1].mean() < 75
+
+
+def test_pad_to_bucket():
+    frames = np.zeros((5, 8, 8, 3), np.uint8)
+    boxes = np.ones((5, 4), np.float32)
+    f, b, v = video_io.pad_to_bucket(frames, boxes, (8, 16))
+    assert f.shape[0] == 8 and b.shape[0] == 8
+    assert v[:5].all() and not v[5:].any()
+    with pytest.raises(ValueError):
+        video_io.pad_to_bucket(np.zeros((20, 8, 8, 3), np.uint8),
+                               np.ones((20, 4), np.float32), (8, 16))
+
+
+def test_masked_softdtw_matches_trimmed_oracle():
+    rng = np.random.default_rng(0)
+    a = rng.normal(size=(12, 4)).astype(np.float32)
+    b = rng.normal(size=(15, 4)).astype(np.float32)
+    D = softdtw.pairwise_sqdist(jnp.asarray(a), jnp.asarray(b))
+    la, lb = 9, 11
+    ref, _ = softdtw.softdtw_reference(np.asarray(D)[:la, :lb], 0.1)
+    got = float(softdtw.softdtw_cost_masked(D, la, lb, 0.1))
+    np.testing.assert_allclose(got, ref, rtol=1e-4)
+    ref_path = softdtw.dtw_path_reference(np.asarray(D)[:la, :lb])
+    path, length = softdtw.dtw_path_masked(D, la, lb)
+    np.testing.assert_array_equal(np.asarray(path)[: int(length)], ref_path)

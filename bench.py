@@ -1,0 +1,144 @@
+"""End-to-end benchmark harness.
+
+Times the five BASELINE configs on the available accelerator and prints ONE
+JSON line for the driver:
+    {"metric": "end_to_end_fps_1080p", "value": N, "unit": "frames/sec/chip",
+     "vs_baseline": N / 300.0}
+
+The headline metric is BASELINE config 5 (full pipeline: 1080p video ->
+pose -> phases -> errors, pipelined on-device); the north-star target is
+300 fps/chip (BASELINE.json).  Per-stage numbers go to stderr.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def _time_fn(fn, *args, warmup=2, iters=5, min_time=1.0):
+    """Mean wall time per call, fenced, with enough iterations that total
+    elapsed >= min_time so per-dispatch latency (tunnel RTT) amortizes."""
+    import jax
+
+    for _ in range(warmup):
+        jax.block_until_ready(fn(*args))
+
+    def run(n):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(n):
+            out = fn(*args)
+        jax.block_until_ready(out)
+        return (time.perf_counter() - t0) / n
+
+    dt = run(iters)
+    total = dt * iters
+    if total < min_time:
+        dt = run(max(iters, min(int(min_time / max(dt, 1e-6)) + 1, 2000)))
+    return dt
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--clip-frames", type=int, default=64)
+    parser.add_argument("--clips", type=int, default=4)
+    parser.add_argument("--height", type=int, default=1080)
+    parser.add_argument("--width", type=int, default=1920)
+    parser.add_argument("--iters", type=int, default=5)
+    parser.add_argument("--cpu", action="store_true", help="force CPU (debug)")
+    args = parser.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from golfaction_tpu import config as cfg_mod
+    from golfaction_tpu.pipeline import orchestrator
+    from golfaction_tpu.train import data as data_mod
+
+    dev = jax.devices()[0]
+    _log(f"device: {dev.platform} {getattr(dev, 'device_kind', '?')}")
+
+    T = args.clip_frames
+    hw = (args.height, args.width)
+    cfg = cfg_mod.get_config("full_pipeline")
+    cfg = dataclasses.replace(cfg, length_buckets=(T,), video_hw=hw)
+    pipe = orchestrator.Pipeline(cfg, seed=0)
+
+    _log(f"generating {args.clips} synthetic {hw[0]}p clips x {T} frames ...")
+    clips = []
+    boxes = []
+    for i in range(args.clips):
+        s = data_mod.make_swing_batch(
+            1, T, seed=i, image_hw=hw, render=True
+        )[0]
+        clips.append(s.frames)
+        boxes.append(s.boxes)
+
+    # --- headline: config 5, full pipeline fps (frames / wall second) ---
+    # All clips run as ONE batched device program (vmapped core), the same
+    # path analyze_batch uses.
+    frames_dev = jnp.asarray(np.stack(clips))
+    boxes_dev = jnp.asarray(np.stack(boxes))
+    valid = jnp.ones((T,), bool)
+    valid_b = jnp.ones((args.clips, T), bool)
+
+    def run_all():
+        return pipe._core_batch(pipe.params, frames_dev, boxes_dev, valid_b)
+
+    dt = _time_fn(run_all, warmup=2, iters=args.iters)
+    total_frames = args.clips * T
+    fps = total_frames / dt
+    _log(f"[config 5] full pipeline: {fps:,.1f} fps ({dt*1e3:.1f} ms for {total_frames} frames)")
+
+    # --- per-stage breakdowns (stderr only) ---
+    f0, b0 = frames_dev[0], boxes_dev[0]
+
+    pose_dt = _time_fn(lambda: pipe._pose_only(pipe.params, f0, b0),
+                       warmup=1, iters=args.iters)
+    _log(f"[config 2] preprocess+pose+decode: {T/pose_dt:,.1f} fps")
+
+    from golfaction_tpu.models import gcn as gcn_mod
+
+    kpts = pipe._pose_only(pipe.params, f0, b0)
+    sk = gcn_mod.normalize_skeleton(kpts[None], valid[None])
+    gcn_fwd = jax.jit(lambda p, s, v: pipe.gcn_model.apply(p, s, v))
+    gcn_dt = _time_fn(lambda: gcn_fwd(pipe.params["gcn"], sk, valid[None]),
+                      warmup=1, iters=args.iters)
+    _log(f"[config 3] GCN segmentation: {T/gcn_dt:,.1f} fps")
+
+    align_dt = _time_fn(
+        lambda: pipe._align(pipe.params, kpts, valid, kpts, valid),
+        warmup=1, iters=args.iters,
+    )
+    _log(f"[config 4] soft-DTW alignment ({T}x{T}): {align_dt*1e3:.2f} ms/pair")
+
+    # config 1: single-image pose (CPU-runnable check happens in CI).
+    crop1 = jnp.zeros((1, *cfg.pose.input_hw, 3), jnp.float32)
+    pose1 = jax.jit(lambda p, x: pipe.pose_model.apply(p, x))
+    one_dt = _time_fn(lambda: pose1(pipe.params["pose"], crop1),
+                      warmup=1, iters=args.iters)
+    _log(f"[config 1] single-image pose forward: {one_dt*1e3:.2f} ms")
+
+    print(json.dumps({
+        "metric": "end_to_end_fps_1080p",
+        "value": round(fps, 1),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(fps / 300.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,131 @@
+"""Command-line interface: the L5 orchestration surface (SURVEY.md §1).
+
+    python -m golfaction_tpu.cli analyze swing.mp4 [--reference pro.mp4]
+    python -m golfaction_tpu.cli train {pose,gcn,align,error} [--steps N]
+    python -m golfaction_tpu.cli bench
+
+Outputs are JSON on stdout (per-frame keypoints/labels to a file when
+--out is given); progress goes to stderr.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+
+def _log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def cmd_analyze(args):
+    from golfaction_tpu import config as cfg_mod
+    from golfaction_tpu.pipeline import orchestrator
+    from golfaction_tpu.train import checkpoint
+
+    pipe = orchestrator.Pipeline(cfg_mod.get_config(args.preset))
+    if args.checkpoint:
+        pipe.params = checkpoint.restore_params(args.checkpoint, like=pipe.params)
+        _log(f"restored params from {args.checkpoint}")
+
+    reference = None
+    if args.reference:
+        _log(f"analyzing reference swing {args.reference} ...")
+        ref_res = pipe.analyze(args.reference)
+        reference = pipe.extract_skeleton(ref_res)
+
+    _log(f"analyzing {args.video} ...")
+    res = pipe.analyze(args.video, reference=reference)
+    valid = np.asarray(res.valid)
+    T = int(valid.sum())
+    out = {
+        "num_frames": T,
+        "keypoints": np.asarray(res.keypoints)[:T].tolist(),
+        "phase_labels": [
+            cfg_mod.SWING_PHASES[i] for i in np.asarray(res.phase_labels)[:T]
+        ],
+        "error_probs": dict(
+            zip(cfg_mod.SWING_ERRORS, np.asarray(res.error_probs).round(4).tolist())
+        ),
+        "error_flags": [
+            name
+            for name, f in zip(cfg_mod.SWING_ERRORS, np.asarray(res.error_flags))
+            if f
+        ],
+    }
+    if res.alignment is not None:
+        L = int(res.alignment.path_length)
+        out["alignment"] = {
+            "cost": float(res.alignment.cost),
+            "path": np.asarray(res.alignment.path)[:L].tolist(),
+        }
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(out, f)
+        _log(f"wrote {args.out}")
+        print(json.dumps({k: v for k, v in out.items() if k != "keypoints"}))
+    else:
+        print(json.dumps(out))
+
+
+def cmd_train(args):
+    from golfaction_tpu import config as cfg_mod
+    from golfaction_tpu.train import checkpoint, loops
+
+    tc = cfg_mod.TrainConfig(total_steps=args.steps, batch_size=args.batch_size,
+                             checkpoint_dir=args.checkpoint_dir)
+    trainers = {
+        "pose": lambda: loops.train_pose(cfg_mod.PoseConfig(), tc),
+        "gcn": lambda: loops.train_gcn(cfg_mod.GCNConfig(), tc),
+        "align": lambda: loops.train_align(cfg_mod.AlignConfig(), tc),
+        "error": lambda: loops.train_error(cfg_mod.ErrorConfig(), tc),
+    }
+    state, history = trainers[args.model]()
+    for h in history:
+        _log(json.dumps(h))
+    path = checkpoint.save_params(
+        f"{tc.checkpoint_dir}/{args.model}", state.params, step=state.step
+    )
+    print(json.dumps({"model": args.model, "steps": state.step,
+                      "final": history[-1], "checkpoint": path}))
+
+
+def cmd_bench(args):
+    import bench
+
+    sys.argv = ["bench.py"] + (args.bench_args or [])
+    bench.main()
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="golfaction_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    a = sub.add_parser("analyze", help="analyze a swing video")
+    a.add_argument("video")
+    a.add_argument("--reference", help="pro swing video to align against")
+    a.add_argument("--checkpoint", help="trained params directory")
+    a.add_argument("--preset", default="full_pipeline")
+    a.add_argument("--out", help="write full JSON result to file")
+    a.set_defaults(fn=cmd_analyze)
+
+    t = sub.add_parser("train", help="train one model on synthetic swings")
+    t.add_argument("model", choices=["pose", "gcn", "align", "error"])
+    t.add_argument("--steps", type=int, default=200)
+    t.add_argument("--batch-size", type=int, default=16)
+    t.add_argument("--checkpoint-dir", default="/tmp/golfaction_ckpt")
+    t.set_defaults(fn=cmd_train)
+
+    b = sub.add_parser("bench", help="run the benchmark harness")
+    b.add_argument("bench_args", nargs="*")
+    b.set_defaults(fn=cmd_bench)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -59,6 +59,7 @@ class PoseConfig:
     dtype: str = "bfloat16"                      # compute dtype on TPU
     udp: bool = True                             # sub-pixel (UDP-style) decode
     sigma: float = 2.0                           # target heatmap gaussian sigma
+    decode_impl: str = "pallas"                  # "pallas" | "xla" decode path
 
 
 @dataclasses.dataclass(frozen=True)
@@ -128,6 +129,7 @@ class PipelineConfig:
     # Clip lengths are padded up to the nearest bucket so jit never retraces.
     length_buckets: tuple[int, ...] = (64, 128, 256, 512)
     video_hw: tuple[int, int] = (1080, 1920)
+    preprocess_impl: str = "pallas"              # "pallas" | "xla" warp path
 
 
 @dataclasses.dataclass(frozen=True)

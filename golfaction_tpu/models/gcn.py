@@ -22,6 +22,7 @@ from __future__ import annotations
 from typing import Any
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -44,8 +45,12 @@ def _mask(x: jnp.ndarray, valid: jnp.ndarray | None) -> jnp.ndarray:
 class SpatialGraphConv(nn.Module):
     """y[v] = Σ_p Σ_w A[p,v,w] · (x[w] W_p)  — reference README.md:27.
 
-    One dense projection to P·C_out channels followed by a single adjacency
-    einsum; the contraction over (P, W) happens in one XLA dot.
+    TPU formulation: the adjacency contraction is folded into the weights,
+    Wbig[(w,ci),(v,co)] = Σ_p A[p,v,w]·M[p,v,w]·W[p,ci,co], so the whole
+    layer is ONE [B·T, V·Ci] @ [V·Ci, V·Co] matmul — MXU-sized (V·C ≈ 1–4k)
+    instead of a V=17-wide contraction that would waste the 128-lane
+    systolic array.  Wbig costs P·V²·Ci·Co flops to build (negligible) and
+    is identical math to the per-partition form.
     """
 
     out_channels: int
@@ -54,15 +59,27 @@ class SpatialGraphConv(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        P = self.adjacency.shape[0]
-        B, T, V, C = x.shape
-        y = nn.Dense(P * self.out_channels, use_bias=False, dtype=self.dtype)(x)
-        y = y.reshape(B, T, V, P, self.out_channels)
-        A = jnp.asarray(self.adjacency, dtype=self.dtype)
+        P, V, _ = self.adjacency.shape
+        B, T, _, C = x.shape
+        Co = self.out_channels
+        W = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(batch_axis=(0,)),
+            (P, C, Co),
+            jnp.float32,
+        )
         # Learnable edge-importance mask (ST-GCN trick), initialized to 1.
-        M = self.param("edge_importance", nn.initializers.ones, A.shape, jnp.float32)
-        y = jnp.einsum("btwpc,pvw->btvc", y, A * M.astype(self.dtype))
-        return y
+        M = self.param("edge_importance", nn.initializers.ones, (P, V, V),
+                       jnp.float32)
+        A = jnp.asarray(self.adjacency, jnp.float32) * M
+        wbig = jnp.einsum("pvw,pco->wcvo", A, W).astype(self.dtype)
+        y = jax.lax.dot_general(
+            x.astype(self.dtype).reshape(B, T, V * C),
+            wbig.reshape(V * C, V * Co),
+            dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return y.reshape(B, T, V, Co).astype(self.dtype)
 
 
 class MultiBranchTemporalConv(nn.Module):

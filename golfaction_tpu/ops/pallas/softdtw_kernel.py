@@ -1,0 +1,175 @@
+"""Pallas TPU kernel: soft-DTW anti-diagonal wavefront.
+
+The Pallas fast path for ops.softdtw (BASELINE north_star: "soft-DTW style
+sequence matching ... as batched scan kernels on-device"; SURVEY.md §2
+native component 4).  Parity vs the lax.scan implementation / NumPy oracle
+is enforced by tests/test_pallas_softdtw.py.
+
+Design (SURVEY.md §5 long-context):
+  * The cost matrix is pre-skewed in XLA into diagonal-major layout
+    Dskew[K, Ta] (K = Ta+Tb-1, one cheap parallel gather), so the kernel's
+    sequential loop reads contiguous rows — no in-kernel gathers.
+  * One kernel invocation computes the ENTIRE K-step wavefront with the
+    rolling carry held in registers/VMEM: the lax.scan version pays per-step
+    XLA loop overhead on a ~Ta-element update; here each step is a handful
+    of fused VPU ops on a [1, Ta] row.
+  * grid over the batch dimension -> many alignment pairs run back-to-back
+    per core with zero host involvement.
+  * The full skewed DP table is written out for the backward pass /
+    path backtracking; gradients use the existing XLA E-recursion via
+    custom_vjp (cost-only callers still get the fused forward).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_INF = 1e10
+
+
+def skew(D: jnp.ndarray) -> jnp.ndarray:
+    """D [..., Ta, Tb] -> Dskew [..., K, Ta]; out-of-band cells = +INF."""
+    *lead, Ta, Tb = D.shape
+    K = Ta + Tb - 1
+    k = jnp.arange(K)[:, None]
+    i = jnp.arange(Ta)[None, :]
+    j = k - i
+    valid = (j >= 0) & (j < Tb)
+    jc = jnp.clip(j, 0, Tb - 1)
+    vals = D[..., i, jc]  # broadcast gather over lead dims
+    return jnp.where(valid, vals, _INF)
+
+
+def unskew(S: jnp.ndarray, Ta: int, Tb: int) -> jnp.ndarray:
+    """Sskew [..., K, Ta] -> S [..., Ta, Tb]."""
+    i = jnp.arange(Ta)[:, None]
+    j = jnp.arange(Tb)[None, :]
+    return S[..., i + j, i]
+
+
+def _wavefront_kernel(dskew_ref, rskew_ref, *, Ta: int, K: int, gamma: float):
+    """Sequential wavefront over one pair; rows are [1, Ta] VPU vectors."""
+    # Derive the init carry from a ref read (not a splat constant): Mosaic
+    # gives splats a replicated layout that conflicts with the loop body's
+    # computed layout ("Invalid relayout" compile error otherwise).
+    inf_row = dskew_ref[0, pl.ds(0, 1), :] * 0.0 + _INF
+    col0 = (jax.lax.broadcasted_iota(jnp.int32, (1, Ta), 1) == 0)
+
+    def shift(x):
+        # x[i] -> x[i-1], x[0] -> INF  (lane roll + mask).
+        return jnp.where(col0, _INF, pltpu.roll(x, 1, axis=1))
+
+    def softmin3(a, b, c):
+        m = jnp.minimum(jnp.minimum(a, b), c)
+        s = (
+            jnp.exp(-(a - m) / gamma)
+            + jnp.exp(-(b - m) / gamma)
+            + jnp.exp(-(c - m) / gamma)
+        )
+        return m - gamma * jnp.log(s)
+
+    def body(k, carry):
+        r1, r2 = carry
+        d = dskew_ref[0, pl.ds(k, 1), :]
+        if gamma > 0:
+            sm = softmin3(r1, shift(r1), shift(r2))
+        else:
+            sm = jnp.minimum(jnp.minimum(r1, shift(r1)), shift(r2))
+        # Virtual R[-1,-1]=0 feeds only cell (0,0) (k==0, i==0).
+        sm = jnp.where(col0 & (k == 0), 0.0, sm)
+        r0 = jnp.where(d >= _INF, _INF, d + sm)
+        rskew_ref[0, pl.ds(k, 1), :] = r0
+        return (r0, r1)
+
+    jax.lax.fori_loop(0, K, body, (inf_row, inf_row))
+
+
+def _auto_interpret(interpret) -> bool:
+    """Pallas TPU kernels run compiled on TPU, interpreted elsewhere (CPU CI)."""
+    if interpret is None:
+        return jax.default_backend() != "tpu"
+    return bool(interpret)
+
+
+def _wavefront_batch(Dskew: jnp.ndarray, gamma: float, interpret=None):
+    return _wavefront_batch_jit(Dskew, gamma, _auto_interpret(interpret))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("gamma", "interpret")
+)
+def _wavefront_batch_jit(Dskew: jnp.ndarray, gamma: float, interpret: bool):
+    """Dskew [B, K, Ta] -> Rskew [B, K, Ta] (skewed DP table)."""
+    B, K, Ta = Dskew.shape
+    return pl.pallas_call(
+        functools.partial(_wavefront_kernel, Ta=Ta, K=K, gamma=gamma),
+        grid=(B,),
+        in_specs=[pl.BlockSpec((1, K, Ta), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, K, Ta), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, K, Ta), jnp.float32),
+        interpret=interpret,
+    )(Dskew.astype(jnp.float32))
+
+
+def softdtw_table_pallas(D: jnp.ndarray, gamma: float, interpret=None):
+    """Batched forward: D [B, Ta, Tb] -> (cost [B], R [B, Ta, Tb])."""
+    B, Ta, Tb = D.shape
+    Rskew = _wavefront_batch(skew(D), gamma, interpret)
+    R = unskew(Rskew, Ta, Tb)
+    return R[:, -1, -1], R
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def softdtw_cost_pallas(D: jnp.ndarray, gamma: float, interpret=None):
+    """Batched soft-DTW cost via the Pallas wavefront.  D [B, Ta, Tb] -> [B].
+
+    Differentiable: backward uses the XLA E-recursion (ops.softdtw) fed by
+    the Pallas-computed table.
+    """
+    cost, _ = softdtw_table_pallas(D, gamma, interpret)
+    return cost
+
+
+def _cost_fwd(D, gamma, interpret):
+    cost, R = softdtw_table_pallas(D, gamma, interpret)
+    return cost, (D, R)
+
+
+def _cost_bwd(gamma, interpret, res, g):
+    from golfaction_tpu.ops import softdtw as sdtw
+
+    D, R = res
+    E = jax.vmap(lambda d, r: sdtw._backward_scan(d, r, gamma))(D, R)
+    return (g[:, None, None] * E,)
+
+
+softdtw_cost_pallas.defvjp(_cost_fwd, _cost_bwd)
+
+
+def dtw_path_pallas(D: jnp.ndarray, la=None, lb=None):
+    """Batched hard-DTW path using the Pallas wavefront table (gamma=0).
+
+    D [B, Ta, Tb]; la/lb optional [B] valid lengths.  Returns
+    (path [B, Ta+Tb-1, 2] int32 (-1 padded), length [B]).
+    """
+    from golfaction_tpu.ops import softdtw as sdtw
+
+    B, Ta, Tb = D.shape
+    Rskew = _wavefront_batch(skew(D), 0.0)
+    R = unskew(Rskew, Ta, Tb)
+    if la is None:
+        la = jnp.full((B,), Ta, jnp.int32)
+    if lb is None:
+        lb = jnp.full((B,), Tb, jnp.int32)
+
+    def one(Rb, la_b, lb_b):
+        return sdtw._backtrack(Rb, la_b, lb_b)
+
+    return jax.vmap(one)(R, la, lb)

@@ -123,10 +123,11 @@ def crop_resize_normalize(
     f = frames.astype(dtype)
     Wy = Wy.astype(dtype)
     Wx = Wx.astype(dtype)
-    # [B, oh, H] @ [B, H, W*C] -> [B, oh, W, C]; then contract W with Wx.
-    t = jnp.einsum("boh,bhwc->bowc", Wy, f, preferred_element_type=jnp.float32)
+    # Contract the wide W axis first: the intermediate is [B, H, ow, C]
+    # (ow << W), halving the HBM traffic vs the Wy-first order.
+    t = jnp.einsum("bpw,bhwc->bhpc", Wx, f, preferred_element_type=jnp.float32)
     out = jnp.einsum(
-        "bpw,bowc->bopc", Wx, t.astype(dtype), preferred_element_type=jnp.float32
+        "boh,bhpc->bopc", Wy, t.astype(dtype), preferred_element_type=jnp.float32
     )
     out = out / 255.0
     mean = jnp.asarray(mean, dtype=jnp.float32)

@@ -266,37 +266,7 @@ def dtw_path(D: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     monotonic from (0,0) to (Ta-1, Tb-1) in row-major order.
     """
     Ta, Tb = D.shape
-    R = _hard_forward(D)
-    L = Ta + Tb - 1
-
-    def get(i, j):
-        ok = (i >= 0) & (j >= 0)
-        return jnp.where(ok, R[jnp.maximum(i, 0), jnp.maximum(j, 0)], _INF)
-
-    def step(carry, _):
-        i, j, done = carry
-        rd = get(i - 1, j - 1)
-        ru = get(i - 1, j)
-        rl = get(i, j - 1)
-        best = jnp.argmin(jnp.stack([rd, ru, rl]))
-        ni = jnp.where(best != 2, i - 1, i)
-        nj = jnp.where(best != 1, j - 1, j)
-        at_origin = (i == 0) & (j == 0)
-        ni = jnp.where(done | at_origin, i, ni)
-        nj = jnp.where(done | at_origin, j, nj)
-        emit = jnp.where(done, jnp.array([-1, -1]), jnp.stack([i, j]))
-        return (ni, nj, done | at_origin), emit
-
-    (fi, fj, _), rev = jax.lax.scan(
-        step, (jnp.int32(Ta - 1), jnp.int32(Tb - 1), jnp.bool_(False)),
-        None, length=L,
-    )
-    length = jnp.sum(jnp.int32(rev[:, 0] >= 0))
-    # Reverse valid prefix into start->end order, keep -1 padding at the tail.
-    idx = jnp.arange(L)
-    src = jnp.where(idx < length, length - 1 - idx, idx)
-    path = rev[src]
-    return path.astype(jnp.int32), length
+    return _backtrack(_hard_forward(D), Ta, Tb)
 
 
 def _hard_forward(D: jnp.ndarray) -> jnp.ndarray:
@@ -340,8 +310,12 @@ def softdtw_cost_masked(D: jnp.ndarray, la, lb, gamma: float) -> jnp.ndarray:
 
 def dtw_path_masked(D: jnp.ndarray, la, lb):
     """Hard DTW path of D[:la, :lb]; path padded with -1 to [Ta+Tb-1, 2]."""
-    Ta, Tb = D.shape
-    R = _hard_forward(D)
+    return _backtrack(_hard_forward(D), la, lb)
+
+
+def _backtrack(R: jnp.ndarray, la, lb):
+    """Backtrack the optimal path from (la-1, lb-1) over a hard-min table R."""
+    Ta, Tb = R.shape
     L = Ta + Tb - 1
 
     def get(i, j):

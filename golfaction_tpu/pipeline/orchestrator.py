@@ -62,6 +62,10 @@ class Pipeline:
         self.params = params if params is not None else self.init_params(seed)
 
         self._core = jax.jit(self._core_fn)
+        # Batched core: one compiled program analyzes N same-bucket clips at
+        # once — the pose micro-batch becomes (N x frame_batch) frames per
+        # MXU dispatch and the GCN runs one [N, T, V, C] batch.
+        self._core_batch = jax.jit(jax.vmap(self._core_fn, in_axes=(None, 0, 0, 0)))
         self._align = jax.jit(self._align_fn)
         self._pose_only = jax.jit(self._pose_fn)
 
@@ -95,10 +99,25 @@ class Pipeline:
         mb = min(c.frame_batch, frames.shape[0])
         T = frames.shape[0]
 
+        on_tpu = jax.default_backend() == "tpu"
+        use_pallas = c.pose.decode_impl == "pallas" and c.pose.udp and on_tpu
+        pallas_pre = c.preprocess_impl == "pallas" and on_tpu
+
         def one_batch(args):
             f, b = args
-            crops = preprocess.crop_resize_normalize(f, b, c.pose.input_hw)
+            if pallas_pre:
+                from golfaction_tpu.ops.pallas import preprocess_kernel
+
+                crops = preprocess_kernel.crop_resize_normalize_pallas(
+                    f, b, c.pose.input_hw
+                )
+            else:
+                crops = preprocess.crop_resize_normalize(f, b, c.pose.input_hw)
             hm = self.pose_model.apply(params["pose"], crops)
+            if use_pallas:
+                from golfaction_tpu.ops.pallas import decode_kernel
+
+                return decode_kernel.decode_heatmaps_pallas(hm)
             return heatmap.decode_heatmaps(hm, method="udp" if c.pose.udp else "quarter")
 
         if T % mb == 0 and T > mb:
@@ -198,17 +217,51 @@ class Pipeline:
         self,
         videos: Sequence[Union[str, np.ndarray]],
         boxes: Optional[Sequence[np.ndarray]] = None,
+        error_threshold: float = 0.5,
     ) -> list[types.AnalysisResult]:
-        """Analyze many clips with decode/compute overlap (config 5).
+        """Analyze many clips, batched on-device (config 5).
 
-        All device programs are dispatched before any result is fetched;
-        host-side decode of clip i+1 runs while the device crunches clip i.
+        Clips are grouped by padded length bucket and each group runs as ONE
+        batched program (`vmap` over the clip axis), so the pose stage sees
+        (clips x frame_batch)-frame MXU batches and no host round-trips
+        happen between stages.  Groups are dispatched before any fetch, so
+        host-side decode overlaps device compute.
         """
-        results = []
+        prepared = []
         for i, v in enumerate(videos):
+            if isinstance(v, str):
+                frames, _ = video_io.load_video(v)
+            else:
+                frames = np.asarray(v)
             b = None if boxes is None else boxes[i]
-            results.append(self.analyze(v, boxes=b))
-        # Materialize everything with one blocking sweep.
+            prepared.append(self._prepare(frames, b))
+
+        # Group clip indices by bucket length.
+        groups: dict[int, list[int]] = {}
+        for i, (f, _, _) in enumerate(prepared):
+            groups.setdefault(f.shape[0], []).append(i)
+
+        outs: dict[int, dict] = {}
+        for tb, idxs in groups.items():
+            fr = jnp.asarray(np.stack([prepared[i][0] for i in idxs]))
+            bx = jnp.asarray(np.stack([prepared[i][1] for i in idxs]))
+            vd = jnp.asarray(np.stack([prepared[i][2] for i in idxs]))
+            out = self._core_batch(self.params, fr, bx, vd)
+            for n, i in enumerate(idxs):
+                outs[i] = jax.tree.map(lambda x: x[n], out)
+
+        results = []
+        for i, (_, _, valid) in enumerate(prepared):
+            out = outs[i]
+            probs = jax.nn.sigmoid(out["error_logits"])
+            results.append(types.AnalysisResult(
+                keypoints=out["keypoints"],
+                phase_labels=out["phase_labels"],
+                phase_logits=out["phase_logits"],
+                error_flags=probs > error_threshold,
+                error_probs=probs,
+                valid=jnp.asarray(valid),
+            ))
         jax.block_until_ready([r.keypoints for r in results])
         return results
 

@@ -64,6 +64,7 @@ def estimate_person_boxes(
     frames: np.ndarray,
     smooth: int = 9,
     min_size: float = 0.15,
+    use_native: bool = True,
 ) -> np.ndarray:
     """Motion-energy person boxes for a static-camera swing clip.
 
@@ -71,8 +72,17 @@ def estimate_person_boxes(
     per-frame boxes are median-smoothed over time and unioned with a minimum
     size (fraction of frame) so a momentarily-still golfer isn't lost.
 
+    Dispatches to the multithreaded C++ implementation
+    (golfaction_tpu.native) when available; this NumPy body is the oracle.
+
     Returns boxes [T, 4] float32 (cx, cy, w, h) in pixels.
     """
+    if use_native:
+        from golfaction_tpu import native
+
+        out = native.motion_boxes(frames, min_size=min_size, smooth=smooth)
+        if out is not None:
+            return out
     T, H, W, _ = frames.shape
     gray = frames.mean(axis=-1).astype(np.float32)
     background = np.median(gray, axis=0)

@@ -1,0 +1,51 @@
+"""Orbax checkpointing for all pipeline params (SURVEY.md §5 checkpoint/resume).
+
+The reference implies trained weights (README.md:24-48 training curves) but
+ships none; this module owns save/restore for the build's own params with
+deterministic pytree schemas, enabling training resume after preemption and
+parameter exchange between training and the inference Pipeline.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+def save_params(path: str, params: Any, step: Optional[int] = None) -> str:
+    """Save a params pytree (e.g. Pipeline.params dict) to `path`.
+
+    Returns the concrete checkpoint directory written.
+    """
+    path = os.path.abspath(path)
+    if step is not None:
+        path = os.path.join(path, f"step_{step:08d}")
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, params, force=True)
+    ckptr.wait_until_finished()
+    return path
+
+
+def restore_params(path: str, like: Optional[Any] = None) -> Any:
+    """Restore a params pytree.  `like` (an abstract/concrete pytree of the
+    same structure) enables dtype/shape-checked restoration."""
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    if like is not None:
+        abstract = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype), like
+        )
+        return ckptr.restore(path, abstract)
+    return ckptr.restore(path)
+
+
+def latest_step_dir(root: str) -> Optional[str]:
+    """Find the newest step_XXXXXXXX checkpoint under `root` (resume helper)."""
+    if not os.path.isdir(root):
+        return None
+    steps = sorted(d for d in os.listdir(root) if d.startswith("step_"))
+    return os.path.join(root, steps[-1]) if steps else None

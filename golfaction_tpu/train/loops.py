@@ -1,0 +1,294 @@
+"""Optax training loops for the four models (SURVEY.md §3.5, §7 step 8).
+
+Each model gets: a batch builder (host, from the synthetic generator), a
+jitted `train_step` (donated state, single fused XLA program), and a
+`train_*` driver that runs steps and returns a metrics history.  Data
+parallelism over a device mesh lives in golfaction_tpu.parallel and wraps
+these same loss functions.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from golfaction_tpu import config as cfg_mod
+from golfaction_tpu.models import align as align_mod
+from golfaction_tpu.models import error as error_mod
+from golfaction_tpu.models import gcn as gcn_mod
+from golfaction_tpu.models import pose as pose_mod
+from golfaction_tpu.ops import heatmap
+from golfaction_tpu.train import data as data_mod
+from golfaction_tpu.train import losses
+
+
+@dataclasses.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: int = 0
+
+
+def make_optimizer(cfg: cfg_mod.TrainConfig):
+    sched = optax.warmup_cosine_decay_schedule(
+        init_value=0.0,
+        peak_value=cfg.learning_rate,
+        warmup_steps=cfg.warmup_steps,
+        decay_steps=max(cfg.total_steps, cfg.warmup_steps + 1),
+    )
+    return optax.adamw(sched, weight_decay=cfg.weight_decay)
+
+
+def _make_step(loss_fn: Callable, tx) -> Callable:
+    """Build a jitted (state, batch) -> (state, aux) step with donation."""
+
+    def step(params, opt_state, batch):
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, batch)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        aux["loss"] = loss
+        aux["grad_norm"] = optax.global_norm(grads)
+        return params, opt_state, aux
+
+    return jax.jit(step, donate_argnums=(0, 1))
+
+
+# ---------------------------------------------------------------------------
+# Batch builders (host side)
+# ---------------------------------------------------------------------------
+
+def build_pose_batch(samples, pose_cfg: cfg_mod.PoseConfig, frame_stride=4):
+    """Rendered samples -> (crops, target heatmaps, weights) arrays.
+
+    Takes every `frame_stride`-th frame of each rendered clip as an
+    independent pose training example.
+    """
+    from golfaction_tpu.ops import affine, preprocess
+
+    crops, targets, weights = [], [], []
+    for s in samples:
+        assert s.frames is not None, "render=True required for pose batches"
+        idx = np.arange(0, len(s.frames), frame_stride)
+        frames = jnp.asarray(s.frames[idx])
+        boxes = affine.box_to_center_scale(
+            jnp.asarray(s.boxes[idx]),
+            aspect_ratio=pose_cfg.input_hw[1] / pose_cfg.input_hw[0],
+        )
+        crops.append(preprocess.crop_resize_normalize(frames, boxes, pose_cfg.input_hw))
+        kpts = jnp.asarray(s.keypoints[idx])
+        hm_kpts = heatmap.image_keypoints_to_heatmap(
+            kpts, boxes, pose_cfg.heatmap_hw, pose_cfg.input_hw
+        )
+        t, w = heatmap.make_heatmap_targets(
+            hm_kpts[..., :2], pose_cfg.heatmap_hw, pose_cfg.sigma
+        )
+        targets.append(t)
+        weights.append(w)
+    return (
+        jnp.concatenate(crops),
+        jnp.concatenate(targets),
+        jnp.concatenate(weights),
+    )
+
+
+def build_gcn_batch(samples):
+    """Keypoint samples (same T) -> (skeletons_norm, labels, valid)."""
+    kpts = jnp.asarray(np.stack([s.keypoints for s in samples]))
+    labels = jnp.asarray(np.stack([s.phase_labels for s in samples]))
+    valid = jnp.ones(labels.shape, bool)
+    sk = gcn_mod.normalize_skeleton(kpts, valid)
+    return sk, labels, valid
+
+
+def build_align_batch(samples_a, samples_b):
+    """Paired swings -> (sk_a, sk_b, prog_a, prog_b)."""
+    ka = jnp.asarray(np.stack([s.keypoints for s in samples_a]))
+    kb = jnp.asarray(np.stack([s.keypoints for s in samples_b]))
+    va = jnp.ones(ka.shape[:2], bool)
+    vb = jnp.ones(kb.shape[:2], bool)
+    return (
+        gcn_mod.normalize_skeleton(ka, va),
+        gcn_mod.normalize_skeleton(kb, vb),
+        jnp.asarray(np.stack([s.progress for s in samples_a])),
+        jnp.asarray(np.stack([s.progress for s in samples_b])),
+    )
+
+
+def build_error_batch(samples):
+    sk, labels, valid = build_gcn_batch(samples)
+    # Train against ground-truth phases as sharp logits (the runtime feeds
+    # the GCN's soft posteriors; GT one-hot is the asymptotic version).
+    phase_logits = jax.nn.one_hot(labels, cfg_mod.NUM_PHASES) * 10.0
+    flags = jnp.asarray(np.stack([s.error_flags for s in samples]))
+    return sk, phase_logits, flags, valid
+
+
+# ---------------------------------------------------------------------------
+# Per-model training drivers
+# ---------------------------------------------------------------------------
+
+def train_pose(
+    pose_cfg: cfg_mod.PoseConfig,
+    train_cfg: cfg_mod.TrainConfig,
+    image_hw=(256, 320),
+    clips_per_epoch: int = 4,
+    frames_per_clip: int = 16,
+    log_every: int = 20,
+):
+    model = pose_mod.create_pose_model(pose_cfg)
+    tx = make_optimizer(train_cfg)
+
+    def loss_fn(params, batch):
+        crops, targets, weights = batch
+        pred = model.apply(params, crops)
+        return losses.heatmap_mse(pred, targets, weights), {}
+
+    step_fn = _make_step(loss_fn, tx)
+    params = model.init(
+        jax.random.key(train_cfg.seed), jnp.zeros((1, *pose_cfg.input_hw, 3))
+    )
+    opt_state = tx.init(params)
+    history = []
+    for step in range(train_cfg.total_steps):
+        samples = data_mod.make_swing_batch(
+            clips_per_epoch, frames_per_clip, seed=train_cfg.seed + step,
+            image_hw=image_hw, render=True,
+        )
+        batch = build_pose_batch(samples, pose_cfg)
+        params, opt_state, aux = step_fn(params, opt_state, batch)
+        if step % log_every == 0 or step == train_cfg.total_steps - 1:
+            history.append({"step": step, "loss": float(aux["loss"])})
+    return TrainState(params, opt_state, train_cfg.total_steps), history
+
+
+def train_gcn(
+    gcn_cfg: cfg_mod.GCNConfig,
+    train_cfg: cfg_mod.TrainConfig,
+    frames_per_clip: int = 64,
+    log_every: int = 20,
+):
+    model = gcn_mod.create_gcn_model(gcn_cfg)
+    tx = make_optimizer(train_cfg)
+
+    def loss_fn(params, batch):
+        sk, labels, valid = batch
+        logits = model.apply(params, sk, valid, deterministic=False,
+                             rngs={"dropout": jax.random.key(0)})
+        loss = losses.phase_cross_entropy(logits, labels, valid, label_smoothing=0.05)
+        acc = (jnp.argmax(logits, -1) == labels).mean()
+        return loss, {"acc": acc}
+
+    step_fn = _make_step(loss_fn, tx)
+    t0 = frames_per_clip
+    params = model.init(
+        jax.random.key(train_cfg.seed),
+        jnp.zeros((1, t0, gcn_cfg.num_joints, gcn_cfg.in_channels)),
+        jnp.ones((1, t0), bool),
+    )
+    opt_state = tx.init(params)
+    history = []
+    for step in range(train_cfg.total_steps):
+        samples = data_mod.make_swing_batch(
+            train_cfg.batch_size, frames_per_clip, seed=train_cfg.seed + step
+        )
+        batch = build_gcn_batch(samples)
+        params, opt_state, aux = step_fn(params, opt_state, batch)
+        if step % log_every == 0 or step == train_cfg.total_steps - 1:
+            history.append({
+                "step": step, "loss": float(aux["loss"]), "acc": float(aux["acc"]),
+            })
+    return TrainState(params, opt_state, train_cfg.total_steps), history
+
+
+def train_align(
+    align_cfg: cfg_mod.AlignConfig,
+    train_cfg: cfg_mod.TrainConfig,
+    frames_per_clip: int = 48,
+    log_every: int = 20,
+):
+    model = align_mod.create_align_model(align_cfg)
+    tx = make_optimizer(train_cfg)
+
+    def loss_fn(params, batch):
+        sk_a, sk_b, prog_a, prog_b = batch
+        va = jnp.ones(sk_a.shape[:2], bool)
+        vb = jnp.ones(sk_b.shape[:2], bool)
+        ea = model.apply(params, sk_a, va)
+        eb = model.apply(params, sk_b, vb)
+        div = losses.softdtw_divergence_batch(ea, eb, align_cfg.gamma).mean()
+        tcc = losses.alignment_contrastive_batch(ea, eb, prog_a, prog_b).mean()
+        return div + 10.0 * tcc, {"sdtw_div": div, "tcc": tcc}
+
+    step_fn = _make_step(loss_fn, tx)
+    params = model.init(
+        jax.random.key(train_cfg.seed),
+        jnp.zeros((1, frames_per_clip, align_cfg.num_joints, align_cfg.in_channels)),
+        jnp.ones((1, frames_per_clip), bool),
+    )
+    opt_state = tx.init(params)
+    history = []
+    for step in range(train_cfg.total_steps):
+        rng = np.random.default_rng(train_cfg.seed + step)
+        # Pairs: same swing content, different tempo/style/noise.
+        n = train_cfg.batch_size
+        sa, sb = [], []
+        for i in range(n):
+            warp_a, warp_b = rng.uniform(-0.8, 0.8, 2)
+            r = np.random.default_rng(rng.integers(1 << 31))
+            sa.append(data_mod.swing_keypoints(frames_per_clip, r, tempo_warp=warp_a))
+            r = np.random.default_rng(rng.integers(1 << 31))
+            sb.append(data_mod.swing_keypoints(frames_per_clip, r, tempo_warp=warp_b))
+        batch = build_align_batch(sa, sb)
+        params, opt_state, aux = step_fn(params, opt_state, batch)
+        if step % log_every == 0 or step == train_cfg.total_steps - 1:
+            history.append({
+                "step": step, "loss": float(aux["loss"]),
+                "sdtw_div": float(aux["sdtw_div"]), "tcc": float(aux["tcc"]),
+            })
+    return TrainState(params, opt_state, train_cfg.total_steps), history
+
+
+def train_error(
+    error_cfg: cfg_mod.ErrorConfig,
+    train_cfg: cfg_mod.TrainConfig,
+    frames_per_clip: int = 64,
+    log_every: int = 20,
+):
+    model = error_mod.create_error_model(error_cfg)
+    tx = make_optimizer(train_cfg)
+
+    def loss_fn(params, batch):
+        sk, phase_logits, flags, valid = batch
+        logits = model.apply(params, sk, phase_logits, valid)
+        loss = losses.error_bce(logits, flags)
+        pred = (jax.nn.sigmoid(logits) > 0.5).astype(jnp.float32)
+        acc = (pred == flags).mean()
+        return loss, {"acc": acc}
+
+    step_fn = _make_step(loss_fn, tx)
+    t0 = frames_per_clip
+    params = model.init(
+        jax.random.key(train_cfg.seed),
+        jnp.zeros((1, t0, error_cfg.num_joints, error_cfg.in_channels)),
+        jnp.zeros((1, t0, error_cfg.num_phases)),
+        jnp.ones((1, t0), bool),
+    )
+    opt_state = tx.init(params)
+    history = []
+    for step in range(train_cfg.total_steps):
+        samples = data_mod.make_swing_batch(
+            train_cfg.batch_size, frames_per_clip,
+            seed=train_cfg.seed + step, fault_prob=0.5,
+        )
+        batch = build_error_batch(samples)
+        params, opt_state, aux = step_fn(params, opt_state, batch)
+        if step % log_every == 0 or step == train_cfg.total_steps - 1:
+            history.append({
+                "step": step, "loss": float(aux["loss"]), "acc": float(aux["acc"]),
+            })
+    return TrainState(params, opt_state, train_cfg.total_steps), history

@@ -1,0 +1,95 @@
+"""Evaluation metrics: PCK@alpha, swing-phase F1/accuracy, alignment error.
+
+These are the parity metrics named by BASELINE.json ("PCK@0.05 and
+swing-phase F1 parity") and shown as evaluation screenshots in the reference
+(README.md:40-42,48).  All functions are pure jnp and jit-safe.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def pck(pred_kpts, gt_kpts, bbox_size, alpha: float = 0.05, mask=None):
+    """Percentage of Correct Keypoints at alpha * bbox_size.
+
+    pred/gt [..., V, >=2] in the same pixel space; bbox_size [...] the
+    normalization diagonal (e.g. max(w, h) of the person box).
+    """
+    d = jnp.linalg.norm(
+        pred_kpts[..., :2].astype(jnp.float32) - gt_kpts[..., :2].astype(jnp.float32),
+        axis=-1,
+    )                                                  # [..., V]
+    thr = (alpha * bbox_size)[..., None]
+    correct = (d <= thr).astype(jnp.float32)
+    if mask is not None:
+        m = mask.astype(jnp.float32)
+        return (correct * m).sum() / jnp.maximum(m.sum(), 1.0)
+    return correct.mean()
+
+
+def phase_accuracy(pred_labels, gt_labels, valid=None):
+    ok = (pred_labels == gt_labels).astype(jnp.float32)
+    if valid is not None:
+        v = valid.astype(jnp.float32)
+        return (ok * v).sum() / jnp.maximum(v.sum(), 1.0)
+    return ok.mean()
+
+
+def phase_f1(pred_labels, gt_labels, num_classes: int, valid=None):
+    """Macro-F1 over phase classes (classes absent from both pred and gt are
+    excluded from the macro average)."""
+    if valid is None:
+        valid = jnp.ones_like(gt_labels, dtype=bool)
+    v = valid
+    f1s = []
+    present = []
+    for c in range(num_classes):
+        p = (pred_labels == c) & v
+        g = (gt_labels == c) & v
+        tp = jnp.sum(p & g).astype(jnp.float32)
+        fp = jnp.sum(p & ~g).astype(jnp.float32)
+        fn = jnp.sum(~p & g).astype(jnp.float32)
+        f1 = 2 * tp / jnp.maximum(2 * tp + fp + fn, 1e-9)
+        f1s.append(f1)
+        present.append((tp + fn + fp) > 0)
+    f1s = jnp.stack(f1s)
+    present = jnp.stack(present).astype(jnp.float32)
+    return (f1s * present).sum() / jnp.maximum(present.sum(), 1.0)
+
+
+def phase_confusion(pred_labels, gt_labels, num_classes: int, valid=None):
+    """Confusion matrix [P, P] (rows = ground truth)."""
+    if valid is None:
+        valid = jnp.ones_like(gt_labels, dtype=bool)
+    idx = gt_labels * num_classes + pred_labels
+    flat = jnp.where(valid, idx, num_classes * num_classes)
+    counts = jnp.bincount(
+        flat.reshape(-1), length=num_classes * num_classes + 1
+    )[:-1]
+    return counts.reshape(num_classes, num_classes)
+
+
+def alignment_progress_error(path, path_length, progress_a, progress_b):
+    """Mean |progress_a[i] - progress_b[j]| along a DTW path — how well the
+    alignment recovers the true time correspondence of two swings."""
+    L = path.shape[0]
+    idx = jnp.arange(L)
+    m = (idx < path_length).astype(jnp.float32)
+    i = jnp.clip(path[:, 0], 0, progress_a.shape[0] - 1)
+    j = jnp.clip(path[:, 1], 0, progress_b.shape[0] - 1)
+    err = jnp.abs(progress_a[i] - progress_b[j]) * m
+    return err.sum() / jnp.maximum(m.sum(), 1.0)
+
+
+def error_detection_metrics(probs, flags, threshold: float = 0.5):
+    """Multi-label precision/recall/F1 (micro) for fault flags [B, E]."""
+    pred = probs > threshold
+    gt = flags > 0.5
+    tp = jnp.sum(pred & gt).astype(jnp.float32)
+    fp = jnp.sum(pred & ~gt).astype(jnp.float32)
+    fn = jnp.sum(~pred & gt).astype(jnp.float32)
+    precision = tp / jnp.maximum(tp + fp, 1e-9)
+    recall = tp / jnp.maximum(tp + fn, 1e-9)
+    f1 = 2 * precision * recall / jnp.maximum(precision + recall, 1e-9)
+    return {"precision": precision, "recall": recall, "f1": f1}

@@ -1,0 +1,190 @@
+"""Train all four models on the synthetic swing dataset and evaluate.
+
+Produces the build's accuracy numbers (PCK@0.05, swing-phase F1, error
+detection F1, alignment progress error — the parity metrics of
+BASELINE.json) plus Orbax checkpoints the Pipeline/CLI can load.
+
+    python scripts/train_eval.py --steps 300 --out artifacts
+    python scripts/train_eval.py --skip pose --steps 200   # skeleton models only
+
+Writes <out>/params/{pose,gcn,align,error}/step_XXXXXXXX and
+<out>/metrics.json.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=300)
+    ap.add_argument("--pose-steps", type=int, default=None)
+    ap.add_argument("--batch-size", type=int, default=16)
+    ap.add_argument("--out", default="artifacts")
+    ap.add_argument("--skip", nargs="*", default=[],
+                    choices=["pose", "gcn", "align", "error"])
+    ap.add_argument("--eval-clips", type=int, default=32)
+    ap.add_argument("--frames", type=int, default=64)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from golfaction_tpu import config as cfg_mod
+    from golfaction_tpu.models import align as align_mod
+    from golfaction_tpu.models import error as error_mod
+    from golfaction_tpu.models import gcn as gcn_mod
+    from golfaction_tpu.models import pose as pose_mod
+    from golfaction_tpu.ops import softdtw
+    from golfaction_tpu.train import checkpoint, data, loops, metrics
+
+    os.makedirs(args.out, exist_ok=True)
+    results = {}
+    t_start = time.time()
+
+    def log(m):
+        print(m, file=sys.stderr, flush=True)
+
+    tc = cfg_mod.TrainConfig(
+        batch_size=args.batch_size, total_steps=args.steps,
+        warmup_steps=max(args.steps // 10, 1),
+    )
+
+    # ---------------- GCN ----------------
+    if "gcn" not in args.skip:
+        log(f"[gcn] training {args.steps} steps ...")
+        gcn_cfg = cfg_mod.GCNConfig()
+        state, hist = loops.train_gcn(gcn_cfg, tc, frames_per_clip=args.frames,
+                                      log_every=max(args.steps // 10, 1))
+        log(f"[gcn] loss {hist[0]['loss']:.3f} -> {hist[-1]['loss']:.3f}")
+        ck = checkpoint.save_params(f"{args.out}/params/gcn", state.params,
+                                    step=state.step)
+        # Eval on held-out seeds.
+        model = gcn_mod.create_gcn_model(gcn_cfg)
+        samples = data.make_swing_batch(args.eval_clips, args.frames, seed=777_000)
+        sk, labels, valid = loops.build_gcn_batch(samples)
+        logits = jax.jit(lambda p, s, v: model.apply(p, s, v))(state.params, sk, valid)
+        pred = jnp.argmax(logits, -1)
+        acc = float(metrics.phase_accuracy(pred, labels, valid))
+        f1 = float(metrics.phase_f1(pred, labels, cfg_mod.NUM_PHASES, valid))
+        results["gcn"] = {"history": hist, "eval_acc": acc, "eval_f1": f1,
+                          "checkpoint": ck}
+        log(f"[gcn] eval phase acc={acc:.4f} macro-F1={f1:.4f}")
+
+    # ---------------- Error ----------------
+    if "error" not in args.skip:
+        log(f"[error] training {args.steps} steps ...")
+        err_cfg = cfg_mod.ErrorConfig()
+        state, hist = loops.train_error(err_cfg, tc, frames_per_clip=args.frames,
+                                        log_every=max(args.steps // 10, 1))
+        ck = checkpoint.save_params(f"{args.out}/params/error", state.params,
+                                    step=state.step)
+        model = error_mod.create_error_model(err_cfg)
+        samples = data.make_swing_batch(args.eval_clips, args.frames,
+                                        seed=778_000, fault_prob=0.5)
+        sk, phase_logits, flags, valid = loops.build_error_batch(samples)
+        logits = jax.jit(lambda p, s, pl_, v: model.apply(p, s, pl_, v))(
+            state.params, sk, phase_logits, valid)
+        em = metrics.error_detection_metrics(jax.nn.sigmoid(logits), flags)
+        em = {k: float(v) for k, v in em.items()}
+        results["error"] = {"history": hist, "eval": em, "checkpoint": ck}
+        log(f"[error] eval {em}")
+
+    # ---------------- Align ----------------
+    if "align" not in args.skip:
+        align_steps = max(args.steps // 2, 1)
+        log(f"[align] training {align_steps} steps ...")
+        al_cfg = cfg_mod.AlignConfig()
+        al_tc = dataclasses.replace(tc, total_steps=align_steps,
+                                    batch_size=max(args.batch_size // 2, 2))
+        state, hist = loops.train_align(al_cfg, al_tc, frames_per_clip=48,
+                                        log_every=max(align_steps // 10, 1))
+        ck = checkpoint.save_params(f"{args.out}/params/align", state.params,
+                                    step=state.step)
+        model = align_mod.create_align_model(al_cfg)
+        # Eval: align tempo-warped pairs, measure progress error along path.
+        errs = []
+        fwd = jax.jit(lambda p, s, v: model.apply(p, s, v))
+        for i in range(8):
+            r = np.random.default_rng(779_000 + i)
+            a = data.swing_keypoints(48, r, tempo_warp=-0.6)
+            b = data.swing_keypoints(48, np.random.default_rng(779_500 + i),
+                                     tempo_warp=0.6)
+            va = jnp.ones((1, 48), bool)
+            sa = gcn_mod.normalize_skeleton(jnp.asarray(a.keypoints)[None], va)
+            sb = gcn_mod.normalize_skeleton(jnp.asarray(b.keypoints)[None], va)
+            ea = fwd(state.params, sa, va)[0]
+            eb = fwd(state.params, sb, va)[0]
+            D = softdtw.pairwise_sqdist(ea, eb)
+            path, length = softdtw.dtw_path(D)
+            err = float(metrics.alignment_progress_error(
+                path, length, jnp.asarray(a.progress), jnp.asarray(b.progress)))
+            errs.append(err)
+        results["align"] = {"history": hist,
+                            "eval_progress_err": float(np.mean(errs)),
+                            "checkpoint": ck}
+        log(f"[align] eval mean progress error {np.mean(errs):.4f} "
+            f"(identity-warp baseline ~{np.mean(np.abs(np.linspace(0,1,48)**0.66 - np.linspace(0,1,48)**1.52)):.3f})")
+
+    # ---------------- Pose ----------------
+    if "pose" not in args.skip:
+        pose_steps = args.pose_steps or max(args.steps // 2, 1)
+        log(f"[pose] training {pose_steps} steps ...")
+        pose_cfg = cfg_mod.PoseConfig()
+        pose_tc = dataclasses.replace(tc, total_steps=pose_steps,
+                                      learning_rate=5e-4)
+        state, hist = loops.train_pose(
+            pose_cfg, pose_tc, image_hw=(540, 960), clips_per_epoch=2,
+            frames_per_clip=8, log_every=max(pose_steps // 10, 1))
+        ck = checkpoint.save_params(f"{args.out}/params/pose", state.params,
+                                    step=state.step)
+        # Eval PCK@0.05 through the full preprocess->pose->decode path.
+        from golfaction_tpu.ops import affine, heatmap, preprocess
+
+        model = pose_mod.create_pose_model(pose_cfg)
+        samples = data.make_swing_batch(4, 8, seed=780_000,
+                                        image_hw=(540, 960), render=True)
+        pcks = []
+        fwd = jax.jit(lambda p, x: model.apply(p, x))
+        for s in samples:
+            boxes = affine.box_to_center_scale(
+                jnp.asarray(s.boxes),
+                aspect_ratio=pose_cfg.input_hw[1] / pose_cfg.input_hw[0])
+            crops = preprocess.crop_resize_normalize(
+                jnp.asarray(s.frames), boxes, pose_cfg.input_hw)
+            hm = fwd(state.params, crops)
+            kpts = heatmap.decode_heatmaps(hm, "udp")
+            kpts_img = heatmap.keypoints_to_image(
+                kpts, boxes, pose_cfg.heatmap_hw, pose_cfg.input_hw)
+            bbox = jnp.maximum(boxes[:, 2], boxes[:, 3])
+            pcks.append(float(metrics.pck(
+                kpts_img, jnp.asarray(s.keypoints), bbox, alpha=0.05)))
+        results["pose"] = {"history": hist, "eval_pck05": float(np.mean(pcks)),
+                           "checkpoint": ck}
+        log(f"[pose] eval PCK@0.05 = {np.mean(pcks):.4f}")
+
+    results["wall_time_s"] = time.time() - t_start
+    with open(f"{args.out}/metrics.json", "w") as f:
+        json.dump(results, f, indent=2)
+    log(f"wrote {args.out}/metrics.json ({results['wall_time_s']:.0f}s)")
+    print(json.dumps({k: {kk: vv for kk, vv in v.items() if kk != "history"}
+                      if isinstance(v, dict) else v
+                      for k, v in results.items()}, indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,80 @@
+"""Synthetic swing generator: labels, faults, geometry, rendering."""
+
+import numpy as np
+
+from golfaction_tpu import config as cfg_mod
+from golfaction_tpu.train import data
+
+
+def test_phase_labels_cover_all_phases_in_order():
+    rng = np.random.default_rng(0)
+    s = data.swing_keypoints(200, rng)
+    labels = s.phase_labels
+    # Background never appears in a clean swing clip; phases appear in order.
+    assert (labels > 0).all()
+    seen = [labels[0]]
+    for l in labels[1:]:
+        if l != seen[-1]:
+            seen.append(l)
+    assert seen == sorted(seen), f"phases out of order: {seen}"
+    assert len(seen) == 8  # all eight swing phases present
+
+
+def test_tempo_warp_changes_timing_not_geometry():
+    rng = np.random.default_rng(1)
+    slow = data.swing_keypoints(100, np.random.default_rng(1), tempo_warp=-0.8,
+                                style_jitter=0.0, noise=0.0)
+    fast = data.swing_keypoints(100, np.random.default_rng(1), tempo_warp=0.8,
+                                style_jitter=0.0, noise=0.0)
+    # Same phase set, different per-phase frame counts.
+    assert set(slow.phase_labels) == set(fast.phase_labels)
+    assert (slow.phase_labels != fast.phase_labels).any()
+    # Progress curves are the declared power-law warps: power = 2**warp, so
+    # warp=-0.8 -> t_lin**0.57 (front-loaded), warp=+0.8 -> t_lin**1.74.
+    assert slow.progress[50] > 0.5 > fast.progress[50]
+
+
+def test_fault_injection_sets_flags_and_moves_joints():
+    base = data.swing_keypoints(60, np.random.default_rng(2), style_jitter=0.0,
+                                noise=0.0)
+    fault = data.swing_keypoints(60, np.random.default_rng(2), style_jitter=0.0,
+                                 noise=0.0, faults={"swaying": 1.0})
+    assert fault.error_flags[cfg_mod.SWING_ERRORS.index("swaying")] == 1.0
+    assert base.error_flags.sum() == 0
+    # Hips moved laterally during backswing frames.
+    diff = np.abs(fault.keypoints[..., 11, 0] - base.keypoints[..., 11, 0])
+    assert diff.max() > 0.05
+
+
+def test_place_in_image_boxes_contain_keypoints():
+    rng = np.random.default_rng(3)
+    s = data.swing_keypoints(30, rng)
+    s = data.place_in_image(s, (540, 960), person_height_px=350, rng=rng)
+    xy = s.keypoints[..., :2]
+    cx, cy, w, h = s.boxes.T
+    assert ((xy[..., 0] >= (cx - w / 2 - 1e-3)[:, None]).all()
+            and (xy[..., 0] <= (cx + w / 2 + 1e-3)[:, None]).all())
+    assert ((xy[..., 1] >= (cy - h / 2 - 1e-3)[:, None]).all()
+            and (xy[..., 1] <= (cy + h / 2 + 1e-3)[:, None]).all())
+
+
+def test_render_frames_bright_at_joints():
+    rng = np.random.default_rng(4)
+    s = data.swing_keypoints(4, rng)
+    s = data.place_in_image(s, (128, 160), person_height_px=80, rng=rng)
+    s = data.render_frames(s, (128, 160), joint_radius=2.5, rng=rng)
+    assert s.frames.shape == (4, 128, 160, 3)
+    # Pixel at each keypoint is brighter than the background.
+    for t in range(4):
+        for v in range(17):
+            x, y = s.keypoints[t, v, :2].astype(int)
+            if 0 <= y < 128 and 0 <= x < 160:
+                assert s.frames[t, y, x].max() > 60
+
+
+def test_make_swing_batch_variety():
+    samples = data.make_swing_batch(8, 32, seed=0, fault_prob=1.0)
+    assert len(samples) == 8
+    assert any(s.error_flags.sum() > 0 for s in samples)
+    # Styles differ across samples.
+    assert np.abs(samples[0].keypoints - samples[1].keypoints).max() > 0.01

@@ -1,0 +1,70 @@
+"""Pallas soft-DTW wavefront kernel vs oracle / lax.scan path (interpret mode)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from golfaction_tpu.ops import softdtw
+from golfaction_tpu.ops.pallas import softdtw_kernel as pk
+
+
+def _rand_D(rng, b, ta, tb):
+    a = rng.normal(size=(b, ta, 8)).astype(np.float32)
+    c = rng.normal(size=(b, tb, 8)).astype(np.float32)
+    return softdtw.pairwise_sqdist(jnp.asarray(a), jnp.asarray(c))
+
+
+def test_skew_unskew_roundtrip():
+    rng = np.random.default_rng(0)
+    D = _rand_D(rng, 2, 7, 11)
+    S = pk.skew(D)
+    assert S.shape == (2, 17, 7)
+    back = pk.unskew(S, 7, 11)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(D), atol=0)
+
+
+@pytest.mark.parametrize("ta,tb", [(6, 6), (5, 12), (12, 5)])
+def test_cost_matches_oracle(ta, tb):
+    rng = np.random.default_rng(ta + tb)
+    D = _rand_D(rng, 3, ta, tb)
+    cost, R = pk.softdtw_table_pallas(D, 0.1)
+    for k in range(3):
+        ref, Rref = softdtw.softdtw_reference(np.asarray(D[k]), 0.1)
+        np.testing.assert_allclose(float(cost[k]), ref, rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(R[k]), Rref[1:, 1:], rtol=1e-4, atol=1e-3
+        )
+
+
+def test_gradient_matches_scan_implementation():
+    rng = np.random.default_rng(1)
+    D = _rand_D(rng, 2, 6, 9)
+    g_pallas = jax.grad(lambda d: pk.softdtw_cost_pallas(d, 0.1).sum())(D)
+    g_scan = jax.grad(
+        lambda d: softdtw.softdtw_cost_batch(d, 0.1).sum()
+    )(D)
+    np.testing.assert_allclose(
+        np.asarray(g_pallas), np.asarray(g_scan), rtol=1e-3, atol=1e-5
+    )
+
+
+def test_path_matches_oracle_with_lengths():
+    rng = np.random.default_rng(2)
+    D = _rand_D(rng, 2, 10, 12)
+    la = jnp.asarray([10, 7], jnp.int32)
+    lb = jnp.asarray([12, 9], jnp.int32)
+    path, length = pk.dtw_path_pallas(D, la, lb)
+    for k in range(2):
+        ref = softdtw.dtw_path_reference(np.asarray(D[k])[: int(la[k]), : int(lb[k])])
+        L = int(length[k])
+        assert L == len(ref)
+        np.testing.assert_array_equal(np.asarray(path[k])[:L], ref)
+
+
+def test_hard_gamma_zero():
+    rng = np.random.default_rng(3)
+    D = _rand_D(rng, 1, 8, 8)
+    cost, _ = pk.softdtw_table_pallas(D, 0.0)
+    hard = float(softdtw._hard_forward(D[0])[-1, -1])
+    np.testing.assert_allclose(float(cost[0]), hard, rtol=1e-5)

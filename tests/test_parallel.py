@@ -1,0 +1,113 @@
+"""Mesh / DP sharding tests on the 8-virtual-device CPU mesh (SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from golfaction_tpu import config as cfg_mod
+from golfaction_tpu.models import gcn as gcn_mod
+from golfaction_tpu.parallel import mesh as mesh_mod
+from golfaction_tpu.parallel import train_step as ts
+from golfaction_tpu.train import data as data_mod
+from golfaction_tpu.train import loops, losses
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+GCN_CFG = cfg_mod.GCNConfig(block_channels=(8,), temporal_branches=((3, 1),),
+                            dropout=0.0, dtype="float32")
+
+
+def test_make_mesh_shapes():
+    mesh = mesh_mod.make_mesh(cfg_mod.MeshConfig())
+    assert mesh.shape["data"] == 8 and mesh.shape["model"] == 1
+    mesh2 = mesh_mod.make_mesh(cfg_mod.MeshConfig(data_parallel=4, model_parallel=2))
+    assert mesh2.shape["data"] == 4 and mesh2.shape["model"] == 2
+    with pytest.raises(ValueError):
+        mesh_mod.make_mesh(cfg_mod.MeshConfig(data_parallel=16, model_parallel=1))
+
+
+def _gcn_setup():
+    model = gcn_mod.create_gcn_model(GCN_CFG)
+    T = 16
+    params = model.init(jax.random.key(0), jnp.zeros((1, T, 17, 3)),
+                        jnp.ones((1, T), bool))
+
+    def loss_fn(params, batch):
+        sk, labels, valid = batch
+        logits = model.apply(params, sk, valid)
+        return losses.phase_cross_entropy(logits, labels, valid), {}
+
+    samples = data_mod.make_swing_batch(8, T, seed=0)
+    batch = loops.build_gcn_batch(samples)
+    return model, params, loss_fn, batch
+
+
+def test_dp_train_step_matches_single_device():
+    model, params, loss_fn, batch = _gcn_setup()
+    tx = optax.sgd(1e-2)
+
+    # Single-device reference step.
+    def single(params, opt_state, batch):
+        (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, batch)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), loss
+
+    opt0 = tx.init(params)
+    ref_params, ref_loss = single(params, opt0, batch)
+
+    # 8-way DP step.
+    mesh = mesh_mod.make_mesh()
+    p = mesh_mod.replicate(params, mesh)
+    o = mesh_mod.replicate(tx.init(params), mesh)
+    b = mesh_mod.shard_batch(batch, mesh)
+    step = ts.make_dp_train_step(loss_fn, tx, mesh)
+    new_p, _, aux = step(p, o, b)
+
+    np.testing.assert_allclose(float(aux["loss"]), float(ref_loss), rtol=1e-5)
+    flat_ref = jax.tree.leaves(ref_params)
+    flat_dp = jax.tree.leaves(new_p)
+    for a, c in zip(flat_ref, flat_dp):
+        np.testing.assert_allclose(np.asarray(c), np.asarray(a), atol=1e-5)
+
+
+def test_dp_forward_sharded_output():
+    model, params, loss_fn, batch = _gcn_setup()
+    mesh = mesh_mod.make_mesh()
+    sk, labels, valid = batch
+
+    fwd = ts.make_dp_forward(
+        lambda p, s, v: model.apply(p, s, v), mesh, n_batch_args=2
+    )
+    p = mesh_mod.replicate(params, mesh)
+    s = mesh_mod.shard_batch(sk, mesh)
+    v = mesh_mod.shard_batch(valid, mesh)
+    out = fwd(p, s, v)
+    assert out.shape == (8, 16, GCN_CFG.num_phases)
+    # Output really is sharded over data axis.
+    assert len(out.sharding.device_set) == 8
+    # Matches unsharded forward.
+    ref = model.apply(params, sk, valid)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_grad_allreduce_semantics():
+    # Loss averages over batch; DP grads must equal full-batch grads even for
+    # batch-dependent normalization. Verify on a batch where shards differ.
+    model, params, loss_fn, batch = _gcn_setup()
+    sk, labels, valid = batch
+    # Make shard losses asymmetric.
+    labels = labels.at[:4].set(0)
+    batch = (sk, labels, valid)
+    g_ref = jax.grad(lambda p: loss_fn(p, batch)[0])(params)
+    mesh = mesh_mod.make_mesh()
+    g_dp = jax.jit(
+        jax.grad(lambda p, b: loss_fn(p, b)[0]),
+        in_shardings=(mesh_mod.replicated(mesh), mesh_mod.batch_sharding(mesh)),
+        out_shardings=mesh_mod.replicated(mesh),
+    )(mesh_mod.replicate(params, mesh), mesh_mod.shard_batch(batch, mesh))
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_dp)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-5)

@@ -1,0 +1,106 @@
+"""Training loops: losses decrease on synthetic data; metrics; checkpoints."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from golfaction_tpu import config as cfg_mod
+from golfaction_tpu.train import checkpoint, data, loops, losses, metrics
+
+TRAIN = cfg_mod.TrainConfig(
+    batch_size=4, learning_rate=3e-3, warmup_steps=2, total_steps=8, seed=0
+)
+
+
+def test_gcn_training_reduces_loss():
+    gcn_cfg = cfg_mod.GCNConfig(block_channels=(8, 16), temporal_branches=((3, 1),),
+                                dropout=0.0, dtype="float32")
+    state, hist = loops.train_gcn(gcn_cfg, TRAIN, frames_per_clip=24, log_every=1)
+    assert hist[-1]["loss"] < hist[0]["loss"]
+    assert state.step == TRAIN.total_steps
+
+
+def test_error_training_reduces_loss():
+    err_cfg = cfg_mod.ErrorConfig(hidden_dim=16, dtype="float32")
+    state, hist = loops.train_error(err_cfg, TRAIN, frames_per_clip=24, log_every=1)
+    assert hist[-1]["loss"] < hist[0]["loss"]
+
+
+def test_align_training_reduces_loss():
+    al_cfg = cfg_mod.AlignConfig(embed_dim=8, hidden_channels=(8,), dtype="float32")
+    cfg = cfg_mod.TrainConfig(batch_size=2, learning_rate=3e-3, warmup_steps=2,
+                              total_steps=6, seed=0)
+    state, hist = loops.train_align(al_cfg, cfg, frames_per_clip=16, log_every=1)
+    assert hist[-1]["loss"] < hist[0]["loss"]
+
+
+def test_pose_training_reduces_loss():
+    pose_cfg = cfg_mod.PoseConfig(input_hw=(64, 48), heatmap_hw=(16, 12),
+                                  stage_blocks=(1, 1, 1), stage_channels=(8, 8, 16),
+                                  deconv_channels=(8, 8), dtype="float32")
+    cfg = cfg_mod.TrainConfig(batch_size=2, learning_rate=1e-3, warmup_steps=2,
+                              total_steps=6, seed=0)
+    state, hist = loops.train_pose(pose_cfg, cfg, image_hw=(96, 128),
+                                   clips_per_epoch=1, frames_per_clip=8, log_every=1)
+    assert hist[-1]["loss"] < hist[0]["loss"]
+
+
+def test_metrics_pck_and_f1():
+    gt = jnp.zeros((2, 17, 2))
+    pred = gt.at[:, 0, 0].add(10.0)  # one joint off by 10px
+    bbox = jnp.full((2,), 100.0)
+    p = metrics.pck(pred, gt, bbox, alpha=0.05)
+    np.testing.assert_allclose(float(p), 32 / 34, atol=1e-6)
+
+    labels = jnp.asarray([0, 0, 1, 1, 2, 2])
+    perfect = metrics.phase_f1(labels, labels, 3)
+    np.testing.assert_allclose(float(perfect), 1.0)
+    worst = metrics.phase_f1(labels, (labels + 1) % 3, 3)
+    assert float(worst) < 0.01
+    acc = metrics.phase_accuracy(labels, labels.at[0].set(1))
+    np.testing.assert_allclose(float(acc), 5 / 6)
+
+
+def test_metrics_confusion_and_error():
+    labels = jnp.asarray([0, 1, 1, 2])
+    pred = jnp.asarray([0, 1, 2, 2])
+    cm = np.asarray(metrics.phase_confusion(pred, labels, 3))
+    assert cm.sum() == 4 and cm[1, 2] == 1 and cm[0, 0] == 1
+    em = metrics.error_detection_metrics(
+        jnp.asarray([[0.9, 0.1], [0.8, 0.7]]), jnp.asarray([[1.0, 0.0], [1.0, 0.0]])
+    )
+    np.testing.assert_allclose(float(em["recall"]), 1.0)
+    assert float(em["precision"]) < 1.0
+
+
+def test_losses_basic_properties():
+    # CE is minimized by the true labels.
+    logits = jnp.zeros((1, 4, 3)).at[..., 0].set(5.0)
+    good = losses.phase_cross_entropy(logits, jnp.zeros((1, 4), jnp.int32))
+    bad = losses.phase_cross_entropy(logits, jnp.ones((1, 4), jnp.int32))
+    assert float(good) < float(bad)
+    # soft-DTW divergence of identical sequences ~ 0, different > same.
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.normal(size=(10, 4)), jnp.float32)
+    b = jnp.asarray(rng.normal(size=(10, 4)), jnp.float32)
+    same = float(losses.softdtw_divergence(a, a, 0.1))
+    diff = float(losses.softdtw_divergence(a, b, 0.1))
+    assert abs(same) < 1e-3
+    assert diff > same
+
+
+def test_checkpoint_round_trip(tmp_path):
+    params = {
+        "pose": {"w": jnp.arange(6, dtype=jnp.float32).reshape(2, 3)},
+        "gcn": {"b": jnp.ones((4,), jnp.bfloat16)},
+    }
+    path = checkpoint.save_params(str(tmp_path / "ckpt"), params, step=7)
+    assert "step_00000007" in path
+    restored = checkpoint.restore_params(path, like=params)
+    assert restored["gcn"]["b"].dtype == jnp.bfloat16
+    np.testing.assert_array_equal(
+        np.asarray(restored["pose"]["w"]), np.asarray(params["pose"]["w"])
+    )
+    assert checkpoint.latest_step_dir(str(tmp_path / "ckpt")) == path

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 import numpy as np
@@ -28,7 +29,15 @@ def cmd_analyze(args):
 
     pipe = orchestrator.Pipeline(cfg_mod.get_config(args.preset))
     if args.checkpoint:
-        pipe.params = checkpoint.restore_params(args.checkpoint, like=pipe.params)
+        if os.path.isdir(os.path.join(args.checkpoint, "params")) or any(
+            os.path.isdir(os.path.join(args.checkpoint, m))
+            for m in ("pose", "gcn", "align", "error")
+        ):
+            pipe.params = checkpoint.load_pipeline_params(
+                args.checkpoint, like=pipe.params
+            )
+        else:
+            pipe.params = checkpoint.restore_params(args.checkpoint, like=pipe.params)
         _log(f"restored params from {args.checkpoint}")
 
     reference = None

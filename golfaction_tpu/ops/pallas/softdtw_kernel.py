@@ -96,6 +96,17 @@ def _auto_interpret(interpret) -> bool:
     return bool(interpret)
 
 
+# Dskew + Rskew blocks both live in VMEM (~16 MB/core); beyond this the
+# caller falls back to the lax.scan wavefront, which streams D from HBM
+# (SURVEY.md §5 long-context: blockwise scaling for multi-minute sequences).
+_VMEM_BUDGET_BYTES = 12 * 1024 * 1024
+
+
+def fits_vmem(Ta: int, Tb: int) -> bool:
+    K = Ta + Tb - 1
+    return 2 * K * Ta * 4 <= _VMEM_BUDGET_BYTES
+
+
 def _wavefront_batch(Dskew: jnp.ndarray, gamma: float, interpret=None):
     return _wavefront_batch_jit(Dskew, gamma, _auto_interpret(interpret))
 
@@ -119,8 +130,17 @@ def _wavefront_batch_jit(Dskew: jnp.ndarray, gamma: float, interpret: bool):
 
 
 def softdtw_table_pallas(D: jnp.ndarray, gamma: float, interpret=None):
-    """Batched forward: D [B, Ta, Tb] -> (cost [B], R [B, Ta, Tb])."""
+    """Batched forward: D [B, Ta, Tb] -> (cost [B], R [B, Ta, Tb]).
+
+    Sequences too long for the VMEM-resident kernel fall back to the
+    lax.scan wavefront (identical math, HBM-streamed).
+    """
     B, Ta, Tb = D.shape
+    if not fits_vmem(Ta, Tb):
+        from golfaction_tpu.ops import softdtw as sdtw
+
+        R = jax.vmap(lambda d: sdtw._forward_scan(d, gamma))(D)
+        return R[:, -1, -1], R
     Rskew = _wavefront_batch(skew(D), gamma, interpret)
     R = unskew(Rskew, Ta, Tb)
     return R[:, -1, -1], R
@@ -162,8 +182,10 @@ def dtw_path_pallas(D: jnp.ndarray, la=None, lb=None):
     from golfaction_tpu.ops import softdtw as sdtw
 
     B, Ta, Tb = D.shape
-    Rskew = _wavefront_batch(skew(D), 0.0)
-    R = unskew(Rskew, Ta, Tb)
+    if fits_vmem(Ta, Tb):
+        R = unskew(_wavefront_batch(skew(D), 0.0), Ta, Tb)
+    else:
+        R = jax.vmap(sdtw._hard_forward)(D)
     if la is None:
         la = jnp.full((B,), Ta, jnp.int32)
     if lb is None:

@@ -226,20 +226,33 @@ class Pipeline:
         (clips x frame_batch)-frame MXU batches and no host round-trips
         happen between stages.  Groups are dispatched before any fetch, so
         host-side decode overlaps device compute.
+
+        Failure quarantine: a clip that fails decode/preparation yields its
+        Exception at that index instead of an AnalysisResult; the remaining
+        clips are processed normally.
         """
-        prepared = []
+        # Per-clip quarantine (SURVEY.md §5 failure detection): a corrupt or
+        # oversized clip is skipped with its error recorded; the batch
+        # continues.
+        prepared: list = []
+        failures: dict[int, Exception] = {}
         for i, v in enumerate(videos):
-            if isinstance(v, str):
-                frames, _ = video_io.load_video(v)
-            else:
-                frames = np.asarray(v)
-            b = None if boxes is None else boxes[i]
-            prepared.append(self._prepare(frames, b))
+            try:
+                if isinstance(v, str):
+                    frames, _ = video_io.load_video(v)
+                else:
+                    frames = np.asarray(v)
+                b = None if boxes is None else boxes[i]
+                prepared.append(self._prepare(frames, b))
+            except Exception as e:  # noqa: BLE001 — quarantine any decode error
+                failures[i] = e
+                prepared.append(None)
 
         # Group clip indices by bucket length.
         groups: dict[int, list[int]] = {}
-        for i, (f, _, _) in enumerate(prepared):
-            groups.setdefault(f.shape[0], []).append(i)
+        for i, p in enumerate(prepared):
+            if p is not None:
+                groups.setdefault(p[0].shape[0], []).append(i)
 
         outs: dict[int, dict] = {}
         for tb, idxs in groups.items():
@@ -250,8 +263,11 @@ class Pipeline:
             for n, i in enumerate(idxs):
                 outs[i] = jax.tree.map(lambda x: x[n], out)
 
-        results = []
-        for i, (_, _, valid) in enumerate(prepared):
+        results: list = []
+        for i, p in enumerate(prepared):
+            if p is None:
+                results.append(failures[i])
+                continue
             out = outs[i]
             probs = jax.nn.sigmoid(out["error_logits"])
             results.append(types.AnalysisResult(
@@ -260,9 +276,11 @@ class Pipeline:
                 phase_logits=out["phase_logits"],
                 error_flags=probs > error_threshold,
                 error_probs=probs,
-                valid=jnp.asarray(valid),
+                valid=jnp.asarray(p[2]),
             ))
-        jax.block_until_ready([r.keypoints for r in results])
+        jax.block_until_ready(
+            [r.keypoints for r in results if isinstance(r, types.AnalysisResult)]
+        )
         return results
 
     def extract_skeleton(self, result: types.AnalysisResult) -> types.Skeleton:

@@ -43,6 +43,23 @@ def restore_params(path: str, like: Optional[Any] = None) -> Any:
     return ckptr.restore(path)
 
 
+def load_pipeline_params(root: str, like: Any) -> Any:
+    """Load Pipeline params from an artifacts tree written by
+    scripts/train_eval.py (<root>/params/<model>/step_XXXXXXXX or
+    <root>/<model>/step_XXXXXXXX).  Models without a checkpoint keep their
+    `like` (e.g. random-init) values, so partial artifact sets work.
+    """
+    base = os.path.join(root, "params") if os.path.isdir(
+        os.path.join(root, "params")
+    ) else root
+    out = dict(like)
+    for name in like:
+        step_dir = latest_step_dir(os.path.join(base, name))
+        if step_dir:
+            out[name] = restore_params(step_dir, like=like[name])
+    return out
+
+
 def latest_step_dir(root: str) -> Optional[str]:
     """Find the newest step_XXXXXXXX checkpoint under `root` (resume helper)."""
     if not os.path.isdir(root):

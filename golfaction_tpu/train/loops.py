@@ -58,6 +58,57 @@ def _make_step(loss_fn: Callable, tx) -> Callable:
     return jax.jit(step, donate_argnums=(0, 1))
 
 
+def _run_training(
+    step_fn: Callable,
+    params,
+    opt_state,
+    batch_fn: Callable[[int], Any],
+    train_cfg: cfg_mod.TrainConfig,
+    log_every: int,
+    aux_keys: tuple[str, ...] = (),
+    resume_from: str | None = None,
+    checkpoint_tag: str | None = None,
+):
+    """Shared step loop with optional checkpoint/resume (SURVEY.md §5).
+
+    resume_from: a checkpoint dir previously written by this driver — restores
+    params/opt_state/step and continues to total_steps.  checkpoint_tag: when
+    set, saves {params, opt_state, step} under
+    <train_cfg.checkpoint_dir>/<tag> every train_cfg.checkpoint_every steps.
+    """
+    from golfaction_tpu.train import checkpoint as ckpt_mod
+
+    start_step = 0
+    if resume_from:
+        state = ckpt_mod.restore_params(
+            resume_from,
+            like={"params": params, "opt_state": opt_state,
+                  "step": np.zeros((), np.int32)},
+        )
+        params, opt_state = state["params"], state["opt_state"]
+        start_step = int(state["step"])
+
+    history = []
+    for step in range(start_step, train_cfg.total_steps):
+        params, opt_state, aux = step_fn(params, opt_state, batch_fn(step))
+        if step % log_every == 0 or step == train_cfg.total_steps - 1:
+            rec = {"step": step, "loss": float(aux["loss"])}
+            rec.update({k: float(aux[k]) for k in aux_keys})
+            history.append(rec)
+        if (
+            checkpoint_tag
+            and train_cfg.checkpoint_every > 0
+            and (step + 1) % train_cfg.checkpoint_every == 0
+        ):
+            ckpt_mod.save_params(
+                f"{train_cfg.checkpoint_dir}/{checkpoint_tag}",
+                {"params": params, "opt_state": opt_state,
+                 "step": np.int32(step + 1)},
+                step=step + 1,
+            )
+    return TrainState(params, opt_state, train_cfg.total_steps), history
+
+
 # ---------------------------------------------------------------------------
 # Batch builders (host side)
 # ---------------------------------------------------------------------------
@@ -139,6 +190,8 @@ def train_pose(
     clips_per_epoch: int = 4,
     frames_per_clip: int = 16,
     log_every: int = 20,
+    resume_from: str | None = None,
+    checkpoint_tag: str | None = None,
 ):
     model = pose_mod.create_pose_model(pose_cfg)
     tx = make_optimizer(train_cfg)
@@ -153,17 +206,17 @@ def train_pose(
         jax.random.key(train_cfg.seed), jnp.zeros((1, *pose_cfg.input_hw, 3))
     )
     opt_state = tx.init(params)
-    history = []
-    for step in range(train_cfg.total_steps):
+
+    def batch_fn(step):
         samples = data_mod.make_swing_batch(
             clips_per_epoch, frames_per_clip, seed=train_cfg.seed + step,
             image_hw=image_hw, render=True,
         )
-        batch = build_pose_batch(samples, pose_cfg)
-        params, opt_state, aux = step_fn(params, opt_state, batch)
-        if step % log_every == 0 or step == train_cfg.total_steps - 1:
-            history.append({"step": step, "loss": float(aux["loss"])})
-    return TrainState(params, opt_state, train_cfg.total_steps), history
+        return build_pose_batch(samples, pose_cfg)
+
+    return _run_training(step_fn, params, opt_state, batch_fn, train_cfg,
+                         log_every, resume_from=resume_from,
+                         checkpoint_tag=checkpoint_tag)
 
 
 def train_gcn(
@@ -171,6 +224,8 @@ def train_gcn(
     train_cfg: cfg_mod.TrainConfig,
     frames_per_clip: int = 64,
     log_every: int = 20,
+    resume_from: str | None = None,
+    checkpoint_tag: str | None = None,
 ):
     model = gcn_mod.create_gcn_model(gcn_cfg)
     tx = make_optimizer(train_cfg)
@@ -191,18 +246,16 @@ def train_gcn(
         jnp.ones((1, t0), bool),
     )
     opt_state = tx.init(params)
-    history = []
-    for step in range(train_cfg.total_steps):
+
+    def batch_fn(step):
         samples = data_mod.make_swing_batch(
             train_cfg.batch_size, frames_per_clip, seed=train_cfg.seed + step
         )
-        batch = build_gcn_batch(samples)
-        params, opt_state, aux = step_fn(params, opt_state, batch)
-        if step % log_every == 0 or step == train_cfg.total_steps - 1:
-            history.append({
-                "step": step, "loss": float(aux["loss"]), "acc": float(aux["acc"]),
-            })
-    return TrainState(params, opt_state, train_cfg.total_steps), history
+        return build_gcn_batch(samples)
+
+    return _run_training(step_fn, params, opt_state, batch_fn, train_cfg,
+                         log_every, aux_keys=("acc",), resume_from=resume_from,
+                         checkpoint_tag=checkpoint_tag)
 
 
 def train_align(
@@ -210,6 +263,8 @@ def train_align(
     train_cfg: cfg_mod.TrainConfig,
     frames_per_clip: int = 48,
     log_every: int = 20,
+    resume_from: str | None = None,
+    checkpoint_tag: str | None = None,
 ):
     model = align_mod.create_align_model(align_cfg)
     tx = make_optimizer(train_cfg)
@@ -231,26 +286,22 @@ def train_align(
         jnp.ones((1, frames_per_clip), bool),
     )
     opt_state = tx.init(params)
-    history = []
-    for step in range(train_cfg.total_steps):
+
+    def batch_fn(step):
         rng = np.random.default_rng(train_cfg.seed + step)
         # Pairs: same swing content, different tempo/style/noise.
-        n = train_cfg.batch_size
         sa, sb = [], []
-        for i in range(n):
+        for _ in range(train_cfg.batch_size):
             warp_a, warp_b = rng.uniform(-0.8, 0.8, 2)
             r = np.random.default_rng(rng.integers(1 << 31))
             sa.append(data_mod.swing_keypoints(frames_per_clip, r, tempo_warp=warp_a))
             r = np.random.default_rng(rng.integers(1 << 31))
             sb.append(data_mod.swing_keypoints(frames_per_clip, r, tempo_warp=warp_b))
-        batch = build_align_batch(sa, sb)
-        params, opt_state, aux = step_fn(params, opt_state, batch)
-        if step % log_every == 0 or step == train_cfg.total_steps - 1:
-            history.append({
-                "step": step, "loss": float(aux["loss"]),
-                "sdtw_div": float(aux["sdtw_div"]), "tcc": float(aux["tcc"]),
-            })
-    return TrainState(params, opt_state, train_cfg.total_steps), history
+        return build_align_batch(sa, sb)
+
+    return _run_training(step_fn, params, opt_state, batch_fn, train_cfg,
+                         log_every, aux_keys=("sdtw_div", "tcc"),
+                         resume_from=resume_from, checkpoint_tag=checkpoint_tag)
 
 
 def train_error(
@@ -258,6 +309,8 @@ def train_error(
     train_cfg: cfg_mod.TrainConfig,
     frames_per_clip: int = 64,
     log_every: int = 20,
+    resume_from: str | None = None,
+    checkpoint_tag: str | None = None,
 ):
     model = error_mod.create_error_model(error_cfg)
     tx = make_optimizer(train_cfg)
@@ -279,16 +332,14 @@ def train_error(
         jnp.ones((1, t0), bool),
     )
     opt_state = tx.init(params)
-    history = []
-    for step in range(train_cfg.total_steps):
+
+    def batch_fn(step):
         samples = data_mod.make_swing_batch(
             train_cfg.batch_size, frames_per_clip,
             seed=train_cfg.seed + step, fault_prob=0.5,
         )
-        batch = build_error_batch(samples)
-        params, opt_state, aux = step_fn(params, opt_state, batch)
-        if step % log_every == 0 or step == train_cfg.total_steps - 1:
-            history.append({
-                "step": step, "loss": float(aux["loss"]), "acc": float(aux["acc"]),
-            })
-    return TrainState(params, opt_state, train_cfg.total_steps), history
+        return build_error_batch(samples)
+
+    return _run_training(step_fn, params, opt_state, batch_fn, train_cfg,
+                         log_every, aux_keys=("acc",), resume_from=resume_from,
+                         checkpoint_tag=checkpoint_tag)

@@ -68,3 +68,25 @@ def test_hard_gamma_zero():
     cost, _ = pk.softdtw_table_pallas(D, 0.0)
     hard = float(softdtw._hard_forward(D[0])[-1, -1])
     np.testing.assert_allclose(float(cost[0]), hard, rtol=1e-5)
+
+
+def test_long_sequence_fallback_path():
+    # Beyond the VMEM budget the implementation falls back to the scan
+    # wavefront; results must stay identical.
+    assert pk.fits_vmem(64, 64)
+    assert not pk.fits_vmem(2000, 2000)
+    rng = np.random.default_rng(9)
+    D = _rand_D(rng, 1, 8, 8)
+    cost_kernel, _ = pk.softdtw_table_pallas(D, 0.1)
+    # Force the fallback by shrinking the budget.
+    orig = pk._VMEM_BUDGET_BYTES
+    try:
+        pk._VMEM_BUDGET_BYTES = 0
+        cost_fb, _ = pk.softdtw_table_pallas(D, 0.1)
+        path_fb, len_fb = pk.dtw_path_pallas(D)
+    finally:
+        pk._VMEM_BUDGET_BYTES = orig
+    np.testing.assert_allclose(np.asarray(cost_fb), np.asarray(cost_kernel),
+                               rtol=1e-5)
+    ref = softdtw.dtw_path_reference(np.asarray(D[0]))
+    np.testing.assert_array_equal(np.asarray(path_fb[0])[: int(len_fb[0])], ref)

@@ -27,7 +27,10 @@ def cmd_analyze(args):
     from golfaction_tpu.pipeline import orchestrator
     from golfaction_tpu.train import checkpoint
 
-    pipe = orchestrator.Pipeline(cfg_mod.get_config(args.preset))
+    cfg = cfg_mod.get_config(args.preset)
+    if args.set:
+        cfg = cfg_mod.apply_overrides(cfg, args.set)
+    pipe = orchestrator.Pipeline(cfg)
     if args.checkpoint:
         if os.path.isdir(os.path.join(args.checkpoint, "params")) or any(
             os.path.isdir(os.path.join(args.checkpoint, m))
@@ -118,6 +121,9 @@ def main(argv=None):
     a.add_argument("--reference", help="pro swing video to align against")
     a.add_argument("--checkpoint", help="trained params directory")
     a.add_argument("--preset", default="full_pipeline")
+    a.add_argument("--set", action="append", default=[], metavar="KEY=VALUE",
+                   help="config override, e.g. --set frame_batch=16 "
+                        "--set pose.dtype=float32 (repeatable)")
     a.add_argument("--out", help="write full JSON result to file")
     a.set_defaults(fn=cmd_analyze)
 

@@ -184,3 +184,34 @@ def get_config(name: str = "full_pipeline", **overrides) -> PipelineConfig:
     if overrides:
         cfg = dataclasses.replace(cfg, **overrides)
     return cfg
+
+
+def apply_overrides(cfg, assignments: Sequence[str]):
+    """Apply CLI `--set dotted.key=value` overrides to a (nested) dataclass.
+
+    Values parse as Python literals when possible, else stay strings:
+        apply_overrides(cfg, ["frame_batch=16", "pose.dtype=float32",
+                              "length_buckets=(32,64)"])
+    """
+    import ast
+
+    for item in assignments:
+        key, _, raw = item.partition("=")
+        if not _:
+            raise ValueError(f"override {item!r} must look like key=value")
+        try:
+            value = ast.literal_eval(raw)
+        except (ValueError, SyntaxError):
+            value = raw
+        parts = key.strip().split(".")
+        # Rebuild the nested frozen dataclasses from the leaf up.
+        chain = [cfg]
+        for p in parts[:-1]:
+            chain.append(getattr(chain[-1], p))
+        if not hasattr(chain[-1], parts[-1]):
+            raise AttributeError(f"no config field {key!r}")
+        node = dataclasses.replace(chain[-1], **{parts[-1]: value})
+        for obj, name in zip(reversed(chain[:-1]), reversed(parts[:-1])):
+            node = dataclasses.replace(obj, **{name: node})
+        cfg = node
+    return cfg

@@ -56,6 +56,8 @@ def main():
     parser.add_argument("--width", type=int, default=1920)
     parser.add_argument("--iters", type=int, default=5)
     parser.add_argument("--cpu", action="store_true", help="force CPU (debug)")
+    parser.add_argument("--impl-compare", action="store_true",
+                        help="also time XLA vs Pallas for each kernel stage")
     args = parser.parse_args()
 
     import jax
@@ -131,6 +133,34 @@ def main():
     one_dt = _time_fn(lambda: pose1(pipe.params["pose"], crop1),
                       warmup=1, iters=args.iters)
     _log(f"[config 1] single-image pose forward: {one_dt*1e3:.2f} ms")
+
+    if args.impl_compare:
+        from golfaction_tpu.ops import heatmap as hm_mod
+        from golfaction_tpu.ops import preprocess as pp_mod
+        from golfaction_tpu.ops import softdtw as sd_mod
+        from golfaction_tpu.ops.pallas import decode_kernel as dk
+        from golfaction_tpu.ops.pallas import preprocess_kernel as ppk
+        from golfaction_tpu.ops.pallas import softdtw_kernel as sdk
+
+        rng = np.random.default_rng(0)
+        fr8 = frames_dev[0][:8]                   # 8 frames of clip 0
+        b8 = boxes_dev[0][:8]
+        dt_x = _time_fn(jax.jit(
+            lambda: pp_mod.crop_resize_normalize(fr8, b8, cfg.pose.input_hw)))
+        dt_p = _time_fn(jax.jit(
+            lambda: ppk.crop_resize_normalize_pallas(fr8, b8, cfg.pose.input_hw)))
+        _log(f"[impl] preprocess 8x{hw[0]}p:  XLA {dt_x*1e3:.3f} ms | Pallas {dt_p*1e3:.3f} ms")
+
+        hms = jnp.asarray(rng.normal(size=(256, 17, 64, 48)), jnp.float32)
+        dt_x = _time_fn(jax.jit(lambda: hm_mod.decode_heatmaps(hms, "udp")))
+        dt_p = _time_fn(jax.jit(lambda: dk.decode_heatmaps_pallas(hms)))
+        _log(f"[impl] decode 256x17:       XLA {dt_x*1e3:.3f} ms | Pallas {dt_p*1e3:.3f} ms")
+
+        emb = jnp.asarray(rng.normal(size=(16, 128, 16)), jnp.float32)
+        Dm = sd_mod.pairwise_sqdist(emb, emb)
+        dt_x = _time_fn(jax.jit(lambda: sd_mod.softdtw_cost_batch(Dm, 0.1)))
+        dt_p = _time_fn(jax.jit(lambda: sdk.softdtw_cost_pallas(Dm, 0.1)))
+        _log(f"[impl] softdtw 16x128x128:  scan {dt_x*1e3:.3f} ms | Pallas {dt_p*1e3:.3f} ms")
 
     print(json.dumps({
         "metric": "end_to_end_fps_1080p",

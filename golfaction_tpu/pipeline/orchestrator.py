@@ -52,7 +52,11 @@ class Pipeline:
         cfg: PipelineConfig | None = None,
         params: dict | None = None,
         seed: int = 0,
+        mesh=None,
     ):
+        """`mesh`: optional jax.sharding.Mesh with a `data` axis — clips in
+        `analyze_batch` shard across it (params replicated); None = single
+        device."""
         self.cfg = cfg or get_config()
         c = self.cfg
         self.pose_model = pose_mod.create_pose_model(c.pose)
@@ -60,12 +64,31 @@ class Pipeline:
         self.align_model = align_mod.create_align_model(c.align)
         self.error_model = error_mod.create_error_model(c.error)
         self.params = params if params is not None else self.init_params(seed)
+        self.mesh = mesh
+        if mesh is not None:
+            from golfaction_tpu.parallel import mesh as mesh_mod
+
+            self.params = mesh_mod.replicate(self.params, mesh)
 
         self._core = jax.jit(self._core_fn)
         # Batched core: one compiled program analyzes N same-bucket clips at
         # once — the pose micro-batch becomes (N x frame_batch) frames per
-        # MXU dispatch and the GCN runs one [N, T, V, C] batch.
-        self._core_batch = jax.jit(jax.vmap(self._core_fn, in_axes=(None, 0, 0, 0)))
+        # MXU dispatch and the GCN runs one [N, T, V, C] batch.  With a mesh,
+        # the clip axis shards over `data` (params replicated) and XLA keeps
+        # all collectives out of the forward — pure DP scaling over ICI.
+        vmapped = jax.vmap(self._core_fn, in_axes=(None, 0, 0, 0))
+        if self.mesh is not None:
+            from golfaction_tpu.parallel import mesh as mesh_mod
+
+            rep = mesh_mod.replicated(self.mesh)
+            bsh = mesh_mod.batch_sharding(self.mesh)
+            self._core_batch = jax.jit(
+                vmapped,
+                in_shardings=(rep, bsh, bsh, bsh),
+                out_shardings=bsh,
+            )
+        else:
+            self._core_batch = jax.jit(vmapped)
         self._align = jax.jit(self._align_fn)
         self._pose_only = jax.jit(self._pose_fn)
 
@@ -254,12 +277,21 @@ class Pipeline:
             if p is not None:
                 groups.setdefault(p[0].shape[0], []).append(i)
 
+        dp = self.mesh.shape["data"] if self.mesh is not None else 1
         outs: dict[int, dict] = {}
         for tb, idxs in groups.items():
-            fr = jnp.asarray(np.stack([prepared[i][0] for i in idxs]))
-            bx = jnp.asarray(np.stack([prepared[i][1] for i in idxs]))
-            vd = jnp.asarray(np.stack([prepared[i][2] for i in idxs]))
-            out = self._core_batch(self.params, fr, bx, vd)
+            fr = np.stack([prepared[i][0] for i in idxs])
+            bx = np.stack([prepared[i][1] for i in idxs])
+            vd = np.stack([prepared[i][2] for i in idxs])
+            if len(idxs) % dp:
+                # Pad the clip axis to the mesh's data size (dup last clip).
+                pad = dp - len(idxs) % dp
+                fr = np.concatenate([fr, np.repeat(fr[-1:], pad, 0)])
+                bx = np.concatenate([bx, np.repeat(bx[-1:], pad, 0)])
+                vd = np.concatenate([vd, np.repeat(vd[-1:], pad, 0)])
+            out = self._core_batch(
+                self.params, jnp.asarray(fr), jnp.asarray(bx), jnp.asarray(vd)
+            )
             for n, i in enumerate(idxs):
                 outs[i] = jax.tree.map(lambda x: x[n], out)
 

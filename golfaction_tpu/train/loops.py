@@ -192,7 +192,11 @@ def train_pose(
     log_every: int = 20,
     resume_from: str | None = None,
     checkpoint_tag: str | None = None,
+    pool_clips: int = 0,
 ):
+    """Pose training.  pool_clips > 0 pre-renders that many clips ONCE and
+    samples batches from the pool each step — rendering (host NumPy) is ~100x
+    slower than a TPU step, so the pool keeps the chip fed."""
     model = pose_mod.create_pose_model(pose_cfg)
     tx = make_optimizer(train_cfg)
 
@@ -207,12 +211,31 @@ def train_pose(
     )
     opt_state = tx.init(params)
 
-    def batch_fn(step):
-        samples = data_mod.make_swing_batch(
-            clips_per_epoch, frames_per_clip, seed=train_cfg.seed + step,
+    if pool_clips > 0:
+        pool = data_mod.make_swing_batch(
+            pool_clips, frames_per_clip, seed=train_cfg.seed,
             image_hw=image_hw, render=True,
         )
-        return build_pose_batch(samples, pose_cfg)
+        pool_batches = [
+            build_pose_batch([s], pose_cfg, frame_stride=1) for s in pool
+        ]
+        crops = jnp.concatenate([b[0] for b in pool_batches])
+        targets = jnp.concatenate([b[1] for b in pool_batches])
+        weights = jnp.concatenate([b[2] for b in pool_batches])
+        n = crops.shape[0]
+        per_step = clips_per_epoch * max(frames_per_clip // 4, 1)
+
+        def batch_fn(step):
+            rng = np.random.default_rng(train_cfg.seed + 7919 * step)
+            idx = jnp.asarray(rng.choice(n, size=min(per_step, n), replace=False))
+            return crops[idx], targets[idx], weights[idx]
+    else:
+        def batch_fn(step):
+            samples = data_mod.make_swing_batch(
+                clips_per_epoch, frames_per_clip, seed=train_cfg.seed + step,
+                image_hw=image_hw, render=True,
+            )
+            return build_pose_batch(samples, pose_cfg)
 
     return _run_training(step_fn, params, opt_state, batch_fn, train_cfg,
                          log_every, resume_from=resume_from,

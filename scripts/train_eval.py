@@ -36,6 +36,8 @@ def main():
     ap.add_argument("--eval-clips", type=int, default=32)
     ap.add_argument("--frames", type=int, default=64)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--eval-only", action="store_true",
+                    help="skip training; evaluate latest checkpoints in --out")
     args = ap.parse_args()
 
     import jax
@@ -53,7 +55,12 @@ def main():
     from golfaction_tpu.train import checkpoint, data, loops, metrics
 
     os.makedirs(args.out, exist_ok=True)
+    # Merge with prior runs (e.g. per-model --skip passes) instead of clobbering.
+    metrics_path = f"{args.out}/metrics.json"
     results = {}
+    if os.path.exists(metrics_path):
+        with open(metrics_path) as f:
+            results = json.load(f)
     t_start = time.time()
 
     def log(m):
@@ -66,13 +73,18 @@ def main():
 
     # ---------------- GCN ----------------
     if "gcn" not in args.skip:
-        log(f"[gcn] training {args.steps} steps ...")
         gcn_cfg = cfg_mod.GCNConfig()
-        state, hist = loops.train_gcn(gcn_cfg, tc, frames_per_clip=args.frames,
-                                      log_every=max(args.steps // 10, 1))
-        log(f"[gcn] loss {hist[0]['loss']:.3f} -> {hist[-1]['loss']:.3f}")
-        ck = checkpoint.save_params(f"{args.out}/params/gcn", state.params,
-                                    step=state.step)
+        if args.eval_only:
+            ck = checkpoint.latest_step_dir(f"{args.out}/params/gcn")
+            state = loops.TrainState(checkpoint.restore_params(ck), None)
+            hist = results.get("gcn", {}).get("history", [])
+        else:
+            log(f"[gcn] training {args.steps} steps ...")
+            state, hist = loops.train_gcn(gcn_cfg, tc, frames_per_clip=args.frames,
+                                          log_every=max(args.steps // 10, 1))
+            log(f"[gcn] loss {hist[0]['loss']:.3f} -> {hist[-1]['loss']:.3f}")
+            ck = checkpoint.save_params(f"{args.out}/params/gcn", state.params,
+                                        step=state.step)
         # Eval on held-out seeds.
         model = gcn_mod.create_gcn_model(gcn_cfg)
         samples = data.make_swing_batch(args.eval_clips, args.frames, seed=777_000)
@@ -87,12 +99,17 @@ def main():
 
     # ---------------- Error ----------------
     if "error" not in args.skip:
-        log(f"[error] training {args.steps} steps ...")
         err_cfg = cfg_mod.ErrorConfig()
-        state, hist = loops.train_error(err_cfg, tc, frames_per_clip=args.frames,
-                                        log_every=max(args.steps // 10, 1))
-        ck = checkpoint.save_params(f"{args.out}/params/error", state.params,
-                                    step=state.step)
+        if args.eval_only:
+            ck = checkpoint.latest_step_dir(f"{args.out}/params/error")
+            state = loops.TrainState(checkpoint.restore_params(ck), None)
+            hist = results.get("error", {}).get("history", [])
+        else:
+            log(f"[error] training {args.steps} steps ...")
+            state, hist = loops.train_error(err_cfg, tc, frames_per_clip=args.frames,
+                                            log_every=max(args.steps // 10, 1))
+            ck = checkpoint.save_params(f"{args.out}/params/error", state.params,
+                                        step=state.step)
         model = error_mod.create_error_model(err_cfg)
         samples = data.make_swing_batch(args.eval_clips, args.frames,
                                         seed=778_000, fault_prob=0.5)
@@ -106,15 +123,20 @@ def main():
 
     # ---------------- Align ----------------
     if "align" not in args.skip:
-        align_steps = max(args.steps // 2, 1)
-        log(f"[align] training {align_steps} steps ...")
         al_cfg = cfg_mod.AlignConfig()
-        al_tc = dataclasses.replace(tc, total_steps=align_steps,
-                                    batch_size=max(args.batch_size // 2, 2))
-        state, hist = loops.train_align(al_cfg, al_tc, frames_per_clip=48,
-                                        log_every=max(align_steps // 10, 1))
-        ck = checkpoint.save_params(f"{args.out}/params/align", state.params,
-                                    step=state.step)
+        if args.eval_only:
+            ck = checkpoint.latest_step_dir(f"{args.out}/params/align")
+            state = loops.TrainState(checkpoint.restore_params(ck), None)
+            hist = results.get("align", {}).get("history", [])
+        else:
+            align_steps = max(args.steps // 2, 1)
+            log(f"[align] training {align_steps} steps ...")
+            al_tc = dataclasses.replace(tc, total_steps=align_steps,
+                                        batch_size=max(args.batch_size // 2, 2))
+            state, hist = loops.train_align(al_cfg, al_tc, frames_per_clip=48,
+                                            log_every=max(align_steps // 10, 1))
+            ck = checkpoint.save_params(f"{args.out}/params/align", state.params,
+                                        step=state.step)
         model = align_mod.create_align_model(al_cfg)
         # Eval: align tempo-warped pairs, measure progress error along path.
         errs = []
@@ -142,16 +164,22 @@ def main():
 
     # ---------------- Pose ----------------
     if "pose" not in args.skip:
-        pose_steps = args.pose_steps or max(args.steps // 2, 1)
-        log(f"[pose] training {pose_steps} steps ...")
         pose_cfg = cfg_mod.PoseConfig()
-        pose_tc = dataclasses.replace(tc, total_steps=pose_steps,
-                                      learning_rate=5e-4)
-        state, hist = loops.train_pose(
-            pose_cfg, pose_tc, image_hw=(540, 960), clips_per_epoch=2,
-            frames_per_clip=8, log_every=max(pose_steps // 10, 1))
-        ck = checkpoint.save_params(f"{args.out}/params/pose", state.params,
-                                    step=state.step)
+        if args.eval_only:
+            ck = checkpoint.latest_step_dir(f"{args.out}/params/pose")
+            state = loops.TrainState(checkpoint.restore_params(ck), None)
+            hist = results.get("pose", {}).get("history", [])
+        else:
+            pose_steps = args.pose_steps or max(args.steps // 2, 1)
+            log(f"[pose] training {pose_steps} steps ...")
+            pose_tc = dataclasses.replace(tc, total_steps=pose_steps,
+                                          learning_rate=1e-3)
+            state, hist = loops.train_pose(
+                pose_cfg, pose_tc, image_hw=(540, 960), clips_per_epoch=4,
+                frames_per_clip=8, log_every=max(pose_steps // 10, 1),
+                pool_clips=48)
+            ck = checkpoint.save_params(f"{args.out}/params/pose", state.params,
+                                        step=state.step)
         # Eval PCK@0.05 through the full preprocess->pose->decode path.
         from golfaction_tpu.ops import affine, heatmap, preprocess
 
@@ -178,7 +206,7 @@ def main():
         log(f"[pose] eval PCK@0.05 = {np.mean(pcks):.4f}")
 
     results["wall_time_s"] = time.time() - t_start
-    with open(f"{args.out}/metrics.json", "w") as f:
+    with open(metrics_path, "w") as f:
         json.dump(results, f, indent=2)
     log(f"wrote {args.out}/metrics.json ({results['wall_time_s']:.0f}s)")
     print(json.dumps({k: {kk: vv for kk, vv in v.items() if kk != "history"}

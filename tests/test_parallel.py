@@ -111,3 +111,35 @@ def test_grad_allreduce_semantics():
     )(mesh_mod.replicate(params, mesh), mesh_mod.shard_batch(batch, mesh))
     for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_dp)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-5)
+
+
+def test_pipeline_analyze_batch_over_mesh():
+    # analyze_batch sharded over the 8-device CPU mesh == single-device result.
+    from golfaction_tpu.pipeline import orchestrator
+
+    cfg = cfg_mod.PipelineConfig(
+        pose=cfg_mod.PoseConfig(input_hw=(64, 48), heatmap_hw=(16, 12),
+                                stage_blocks=(1, 1, 1), stage_channels=(8, 8, 16),
+                                deconv_channels=(8, 8), dtype="float32"),
+        gcn=cfg_mod.GCNConfig(block_channels=(8,), temporal_branches=((3, 1),),
+                              dropout=0.0, dtype="float32"),
+        align=cfg_mod.AlignConfig(embed_dim=8, hidden_channels=(8,),
+                                  dtype="float32"),
+        error=cfg_mod.ErrorConfig(hidden_dim=16, dtype="float32"),
+        frame_batch=4, length_buckets=(8,),
+    )
+    single = orchestrator.Pipeline(cfg, seed=0)
+    mesh = mesh_mod.make_mesh()
+    sharded = orchestrator.Pipeline(cfg, params=single.params, mesh=mesh)
+
+    rng = np.random.default_rng(0)
+    clips = [rng.integers(0, 255, (5 + i % 3, 64, 80, 3)).astype(np.uint8)
+             for i in range(5)]  # 5 clips on an 8-way mesh: padding path
+    ref = single.analyze_batch(clips)
+    got = sharded.analyze_batch(clips)
+    assert len(got) == 5
+    for a, b in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(b.keypoints),
+                                   np.asarray(a.keypoints), atol=1e-4)
+        np.testing.assert_array_equal(np.asarray(b.phase_labels),
+                                      np.asarray(a.phase_labels))

@@ -53,10 +53,13 @@ class Pipeline:
         params: dict | None = None,
         seed: int = 0,
         mesh=None,
+        logger=None,
     ):
         """`mesh`: optional jax.sharding.Mesh with a `data` axis — clips in
         `analyze_batch` shard across it (params replicated); None = single
-        device."""
+        device.  `logger`: optional utils.logging.JsonlLogger for structured
+        per-call metrics (SURVEY.md §5 observability)."""
+        self.logger = logger
         self.cfg = cfg or get_config()
         c = self.cfg
         self.pose_model = pose_mod.create_pose_model(c.pose)
@@ -206,6 +209,9 @@ class Pipeline:
         swing from a previous `analyze`) is given, the soft-DTW alignment is
         included (reference README.md:50-52 "Compare 2 skeleton").
         """
+        import time as _time
+
+        t0 = _time.perf_counter()
         if isinstance(video, str):
             frames, _ = video_io.load_video(video)
         else:
@@ -215,6 +221,15 @@ class Pipeline:
             self.params, jnp.asarray(frames_p), jnp.asarray(boxes_p),
             jnp.asarray(valid),
         )
+        if self.logger is not None:
+            jax.block_until_ready(out["keypoints"])
+            self.logger.log(
+                "analyze",
+                frames=int(valid.sum()),
+                bucket=int(frames_p.shape[0]),
+                hw=list(frames_p.shape[1:3]),
+                wall_ms=1e3 * (_time.perf_counter() - t0),
+            )
         alignment = None
         if reference is not None:
             a = self._align(

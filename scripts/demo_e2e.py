@@ -1,0 +1,124 @@
+"""End-to-end system evaluation with trained checkpoints.
+
+Renders held-out synthetic swing videos, runs the FULL pipeline
+(video -> preprocess -> pose -> decode -> GCN -> error, plus soft-DTW
+alignment against a reference swing) with the trained params from
+`artifacts/`, and scores every output against the generator's ground truth:
+
+    PCK@0.05 through the whole video path (not just the pose stage),
+    per-frame phase accuracy/F1, error-flag detection, alignment progress
+    error, and a rendered side-by-side comparison video.
+
+    python scripts/demo_e2e.py --clips 8 --out artifacts/demo
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--artifacts", default="artifacts")
+    ap.add_argument("--out", default="artifacts/demo")
+    ap.add_argument("--clips", type=int, default=8)
+    ap.add_argument("--frames", type=int, default=48)
+    ap.add_argument("--hw", type=int, nargs=2, default=(540, 960))
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from golfaction_tpu import config as cfg_mod
+    from golfaction_tpu.pipeline import orchestrator, visualize
+    from golfaction_tpu.train import checkpoint, data, metrics
+
+    os.makedirs(args.out, exist_ok=True)
+
+    def log(m):
+        print(m, file=sys.stderr, flush=True)
+
+    cfg = cfg_mod.get_config(
+        "full_pipeline",
+        video_hw=tuple(args.hw),
+        length_buckets=(args.frames,),
+    )
+    pipe = orchestrator.Pipeline(cfg, seed=0)
+    pipe.params = checkpoint.load_pipeline_params(args.artifacts, like=pipe.params)
+    log(f"loaded trained params from {args.artifacts}")
+
+    hw = tuple(args.hw)
+    samples = data.make_swing_batch(args.clips, args.frames, seed=990_000,
+                                    image_hw=hw, render=True, fault_prob=0.5)
+    ref_sample = data.make_swing_batch(1, args.frames, seed=991_000,
+                                       image_hw=hw, render=True,
+                                       fault_prob=0.0)[0]
+
+    ref_res = pipe.analyze(ref_sample.frames)
+    ref_skel = pipe.extract_skeleton(ref_res)
+
+    pcks, accs, f1s, prog_errs = [], [], [], []
+    flag_pred, flag_true = [], []
+    results = [pipe.analyze(s.frames, reference=ref_skel) for s in samples]
+
+    for s, res in zip(samples, results):
+        T = args.frames
+        kpts = np.asarray(res.keypoints)[:T]
+        bbox = np.maximum(s.boxes[:, 2], s.boxes[:, 3])
+        pcks.append(float(metrics.pck(
+            jnp.asarray(kpts), jnp.asarray(s.keypoints), jnp.asarray(bbox),
+            alpha=0.05)))
+        pred_labels = np.asarray(res.phase_labels)[:T]
+        accs.append(float(metrics.phase_accuracy(
+            jnp.asarray(pred_labels), jnp.asarray(s.phase_labels))))
+        f1s.append(float(metrics.phase_f1(
+            jnp.asarray(pred_labels), jnp.asarray(s.phase_labels),
+            cfg_mod.NUM_PHASES)))
+        flag_pred.append(np.asarray(res.error_probs))
+        flag_true.append(s.error_flags)
+        L = int(res.alignment.path_length)
+        prog_errs.append(float(metrics.alignment_progress_error(
+            res.alignment.path, res.alignment.path_length,
+            jnp.asarray(s.progress), jnp.asarray(ref_sample.progress))))
+
+    em = metrics.error_detection_metrics(
+        jnp.asarray(np.stack(flag_pred)), jnp.asarray(np.stack(flag_true)))
+
+    # Comparison video for the first clip (reference README.md:50-52).
+    s0, r0 = samples[0], results[0]
+    L = int(r0.alignment.path_length)
+    panels = visualize.render_comparison(
+        s0.frames, np.asarray(r0.keypoints),
+        ref_sample.frames, np.asarray(ref_res.keypoints),
+        np.asarray(r0.alignment.path), L, max_pairs=24,
+    )
+    video_path = os.path.join(args.out, "compare.mp4")
+    visualize.write_video(video_path, panels, fps=12)
+
+    summary = {
+        "clips": args.clips,
+        "pck05_mean": float(np.mean(pcks)),
+        "phase_acc_mean": float(np.mean(accs)),
+        "phase_f1_mean": float(np.mean(f1s)),
+        "error_detection": {k: float(v) for k, v in em.items()},
+        "align_progress_err_mean": float(np.mean(prog_errs)),
+        "comparison_video": video_path,
+    }
+    with open(os.path.join(args.out, "e2e_metrics.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    print(json.dumps(summary, indent=2))
+
+
+if __name__ == "__main__":
+    main()

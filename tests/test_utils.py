@@ -64,3 +64,28 @@ def test_apply_overrides_nested():
         cfg_mod.apply_overrides(cfg, ["nope.nope=1"])
     with pytest.raises(ValueError):
         cfg_mod.apply_overrides(cfg, ["missing_equals"])
+
+
+def test_pipeline_logger_integration(tmp_path):
+    from golfaction_tpu import config as cfg_mod
+    from golfaction_tpu.pipeline import orchestrator
+
+    p = str(tmp_path / "pipe.jsonl")
+    cfg = cfg_mod.PipelineConfig(
+        pose=cfg_mod.PoseConfig(input_hw=(64, 48), heatmap_hw=(16, 12),
+                                stage_blocks=(1, 1, 1), stage_channels=(8, 8, 16),
+                                deconv_channels=(8, 8), dtype="float32"),
+        gcn=cfg_mod.GCNConfig(block_channels=(8,), temporal_branches=((3, 1),),
+                              dropout=0.0, dtype="float32"),
+        align=cfg_mod.AlignConfig(embed_dim=8, hidden_channels=(8,),
+                                  dtype="float32"),
+        error=cfg_mod.ErrorConfig(hidden_dim=16, dtype="float32"),
+        frame_batch=4, length_buckets=(8,),
+    )
+    pipe = orchestrator.Pipeline(cfg, seed=0, logger=glog.JsonlLogger(p))
+    pipe.analyze(np.zeros((5, 64, 80, 3), np.uint8))
+    pipe.logger.close()
+    rec = json.loads(open(p).readline())
+    assert rec["event"] == "analyze"
+    assert rec["frames"] == 5 and rec["bucket"] == 8
+    assert rec["wall_ms"] > 0

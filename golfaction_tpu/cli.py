@@ -74,6 +74,17 @@ def cmd_analyze(args):
             "cost": float(res.alignment.cost),
             "path": np.asarray(res.alignment.path)[:L].tolist(),
         }
+    if args.render:
+        from golfaction_tpu.pipeline import video_io, visualize
+
+        if isinstance(args.video, str) and not args.video.endswith(".npy"):
+            frames, fps = video_io.load_video(args.video)
+        else:
+            frames, fps = np.load(args.video), 30.0
+        overlay = visualize.render_analysis(frames, res)
+        visualize.write_video(args.render, overlay, fps=fps)
+        _log(f"wrote overlay video {args.render}")
+
     if args.out:
         with open(args.out, "w") as f:
             json.dump(out, f)
@@ -125,6 +136,8 @@ def main(argv=None):
                    help="config override, e.g. --set frame_batch=16 "
                         "--set pose.dtype=float32 (repeatable)")
     a.add_argument("--out", help="write full JSON result to file")
+    a.add_argument("--render", metavar="OUT_MP4",
+                   help="write an overlay video (skeleton + phase labels)")
     a.set_defaults(fn=cmd_analyze)
 
     t = sub.add_parser("train", help="train one model on synthetic swings")

@@ -113,21 +113,33 @@ def _run_training(
 # Batch builders (host side)
 # ---------------------------------------------------------------------------
 
-def build_pose_batch(samples, pose_cfg: cfg_mod.PoseConfig, frame_stride=4):
+def build_pose_batch(samples, pose_cfg: cfg_mod.PoseConfig, frame_stride=4,
+                     box_jitter: float = 0.0, jitter_rng=None):
     """Rendered samples -> (crops, target heatmaps, weights) arrays.
 
     Takes every `frame_stride`-th frame of each rendered clip as an
-    independent pose training example.
+    independent pose training example.  box_jitter > 0 randomly scales
+    (1±j) and shifts (±j/2 of size) the person boxes so the model is robust
+    to the runtime's estimated (not ground-truth) boxes.
     """
     from golfaction_tpu.ops import affine, preprocess
 
+    jitter_rng = jitter_rng or np.random.default_rng(0)
     crops, targets, weights = [], [], []
     for s in samples:
         assert s.frames is not None, "render=True required for pose batches"
         idx = np.arange(0, len(s.frames), frame_stride)
         frames = jnp.asarray(s.frames[idx])
+        raw_boxes = s.boxes[idx].copy()
+        if box_jitter > 0:
+            n = len(idx)
+            raw_boxes[:, 2:] *= jitter_rng.uniform(
+                1 - box_jitter, 1 + box_jitter, (n, 2))
+            raw_boxes[:, :2] += (
+                raw_boxes[:, 2:] * jitter_rng.uniform(
+                    -box_jitter / 2, box_jitter / 2, (n, 2)))
         boxes = affine.box_to_center_scale(
-            jnp.asarray(s.boxes[idx]),
+            jnp.asarray(raw_boxes),
             aspect_ratio=pose_cfg.input_hw[1] / pose_cfg.input_hw[0],
         )
         crops.append(preprocess.crop_resize_normalize(frames, boxes, pose_cfg.input_hw))
@@ -216,8 +228,11 @@ def train_pose(
             pool_clips, frames_per_clip, seed=train_cfg.seed,
             image_hw=image_hw, render=True,
         )
+        jr = np.random.default_rng(train_cfg.seed + 31)
         pool_batches = [
-            build_pose_batch([s], pose_cfg, frame_stride=1) for s in pool
+            build_pose_batch([s], pose_cfg, frame_stride=1,
+                             box_jitter=0.25, jitter_rng=jr)
+            for s in pool
         ]
         crops = jnp.concatenate([b[0] for b in pool_batches])
         targets = jnp.concatenate([b[1] for b in pool_batches])

@@ -1,0 +1,146 @@
+"""Cascade fine-tuning: adapt the skeleton models to the pipeline's own
+predictions.
+
+The GCN / error heads are first trained on ground-truth skeletons; at
+runtime they consume keypoints predicted by the pose stage from *estimated*
+person boxes, which is a shifted distribution (scripts/demo_e2e.py
+quantifies the gap).  This script closes it:
+
+  1. Render held-out clips, run the REAL pipeline front (estimated boxes ->
+     preprocess -> pose -> decode) to collect predicted keypoints.
+  2. Fine-tune the GCN on (predicted skeletons, true phase labels).
+  3. Re-train the error head on (predicted skeletons, the fine-tuned GCN's
+     posteriors, true fault flags) — exactly the runtime inputs.
+  4. Save updated checkpoints into the artifacts tree.
+
+    python scripts/cascade_finetune.py --clips 48 --steps 200
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--artifacts", default="artifacts")
+    ap.add_argument("--clips", type=int, default=48)
+    ap.add_argument("--frames", type=int, default=48)
+    ap.add_argument("--steps", type=int, default=200)
+    ap.add_argument("--batch-size", type=int, default=16)
+    ap.add_argument("--lr", type=float, default=3e-4)
+    ap.add_argument("--hw", type=int, nargs=2, default=(540, 960))
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import optax
+
+    from golfaction_tpu import config as cfg_mod
+    from golfaction_tpu.models import error as error_mod
+    from golfaction_tpu.models import gcn as gcn_mod
+    from golfaction_tpu.pipeline import orchestrator
+    from golfaction_tpu.train import checkpoint, data, loops, losses
+
+    def log(m):
+        print(m, file=sys.stderr, flush=True)
+
+    cfg = cfg_mod.get_config("full_pipeline", video_hw=tuple(args.hw),
+                             length_buckets=(args.frames,))
+    pipe = orchestrator.Pipeline(cfg, seed=0)
+    pipe.params = checkpoint.load_pipeline_params(args.artifacts, like=pipe.params)
+
+    # ---- 1. Collect predicted keypoints through the real pipeline front ----
+    log(f"rendering {args.clips} clips + running pose front ...")
+    T = args.frames
+    samples = data.make_swing_batch(args.clips, T, seed=550_000,
+                                    image_hw=tuple(args.hw), render=True,
+                                    fault_prob=0.5)
+    from golfaction_tpu.pipeline import video_io
+    from golfaction_tpu.ops import affine
+
+    pred_kpts, labels, flags = [], [], []
+    for s in samples:
+        boxes = video_io.estimate_person_boxes(s.frames)
+        kp = pipe._pose_only(pipe.params, jnp.asarray(s.frames),
+                             jnp.asarray(boxes))
+        pred_kpts.append(np.asarray(kp))
+        labels.append(s.phase_labels)
+        flags.append(s.error_flags)
+    pred_kpts = jnp.asarray(np.stack(pred_kpts))       # [N, T, V, 3]
+    labels = jnp.asarray(np.stack(labels))
+    flags = jnp.asarray(np.stack(flags))
+    valid = jnp.ones(labels.shape, bool)
+    sk = gcn_mod.normalize_skeleton(pred_kpts, valid)
+    N = sk.shape[0]
+    log(f"collected {N} predicted-skeleton clips")
+
+    tx = optax.adamw(args.lr, weight_decay=1e-4)
+    rng = np.random.default_rng(0)
+
+    # ---- 2. Fine-tune GCN on predicted skeletons ----
+    gcn_model = gcn_mod.create_gcn_model(cfg.gcn)
+
+    def gcn_loss(params, batch):
+        s, l, v = batch
+        logits = gcn_model.apply(params, s, v)
+        loss = losses.phase_cross_entropy(logits, l, v, label_smoothing=0.05)
+        acc = (jnp.argmax(logits, -1) == l).mean()
+        return loss, {"acc": acc}
+
+    step = loops._make_step(gcn_loss, tx)
+    gparams = pipe.params["gcn"]
+    gopt = tx.init(gparams)
+    for i in range(args.steps):
+        idx = jnp.asarray(rng.choice(N, size=min(args.batch_size, N), replace=False))
+        gparams, gopt, aux = step(gparams, gopt, (sk[idx], labels[idx], valid[idx]))
+        if i % max(args.steps // 5, 1) == 0 or i == args.steps - 1:
+            log(f"[gcn-cascade] step {i} loss {float(aux['loss']):.4f} "
+                f"acc {float(aux['acc']):.4f}")
+    gcn_ck = checkpoint.save_params(f"{args.artifacts}/params/gcn", gparams,
+                                    step=10_000 + args.steps)
+
+    # ---- 3. Re-train error head on runtime inputs ----
+    gcn_logits = jax.jit(lambda p, s, v: gcn_model.apply(p, s, v))(
+        gparams, sk, valid)
+    err_model = error_mod.create_error_model(cfg.error)
+
+    def err_loss(params, batch):
+        s, pl_, f, v = batch
+        logits = err_model.apply(params, s, pl_, v)
+        loss = losses.error_bce(logits, f)
+        pred = (jax.nn.sigmoid(logits) > 0.5).astype(jnp.float32)
+        acc = (pred == f).mean()
+        return loss, {"acc": acc}
+
+    estep = loops._make_step(err_loss, tx)
+    eparams = pipe.params["error"]
+    eopt = tx.init(eparams)
+    for i in range(args.steps * 2):
+        idx = jnp.asarray(rng.choice(N, size=min(args.batch_size, N), replace=False))
+        eparams, eopt, aux = estep(
+            eparams, eopt,
+            (sk[idx], gcn_logits[idx], flags[idx], valid[idx]))
+        if i % max(args.steps // 3, 1) == 0 or i == args.steps * 2 - 1:
+            log(f"[error-cascade] step {i} loss {float(aux['loss']):.4f} "
+                f"acc {float(aux['acc']):.4f}")
+    err_ck = checkpoint.save_params(f"{args.artifacts}/params/error", eparams,
+                                    step=10_000 + args.steps * 2)
+
+    print(json.dumps({"gcn_checkpoint": gcn_ck, "error_checkpoint": err_ck,
+                      "clips": int(N)}))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,82 @@
+"""CLI surface tests (tiny models via --set overrides, synthetic mp4)."""
+
+import io
+import contextlib
+import json
+import os
+
+import numpy as np
+import pytest
+
+from golfaction_tpu import cli
+from golfaction_tpu.pipeline import visualize
+from golfaction_tpu.train import data
+
+cv2 = pytest.importorskip("cv2")
+
+TINY_SETS = [
+    "--set", "pose.stage_blocks=(1,1,1)",
+    "--set", "pose.stage_channels=(8,8,16)",
+    "--set", "pose.deconv_channels=(8,8)",
+    "--set", "pose.input_hw=(64,48)",
+    "--set", "pose.heatmap_hw=(16,12)",
+    "--set", "pose.dtype='float32'",
+    "--set", "gcn.block_channels=(8,)",
+    "--set", "gcn.temporal_branches=((3,1),)",
+    "--set", "gcn.dtype='float32'",
+    "--set", "align.hidden_channels=(8,)",
+    "--set", "align.embed_dim=8",
+    "--set", "error.hidden_dim=16",
+    "--set", "frame_batch=4",
+    "--set", "length_buckets=(16,)",
+]
+
+
+@pytest.fixture(scope="module")
+def swing_mp4(tmp_path_factory):
+    d = tmp_path_factory.mktemp("clips")
+    s = data.make_swing_batch(1, 12, seed=0, image_hw=(96, 128), render=True)[0]
+    p = str(d / "swing.mp4")
+    visualize.write_video(p, s.frames, fps=30)
+    return p
+
+
+def _run(argv):
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        cli.main(argv)
+    return buf.getvalue()
+
+
+def test_cli_analyze_json_contract(swing_mp4, tmp_path):
+    out_file = str(tmp_path / "res.json")
+    _run(["analyze", swing_mp4, *TINY_SETS, "--out", out_file])
+    r = json.load(open(out_file))
+    assert r["num_frames"] == 12
+    assert len(r["keypoints"]) == 12 and len(r["keypoints"][0]) == 17
+    assert all(isinstance(p, str) for p in r["phase_labels"])
+    assert set(r["error_probs"]) == set(
+        __import__("golfaction_tpu.config", fromlist=["c"]).SWING_ERRORS
+    )
+    assert "alignment" not in r  # no reference given
+
+
+def test_cli_analyze_with_reference(swing_mp4):
+    out = json.loads(_run(["analyze", swing_mp4, "--reference", swing_mp4,
+                           *TINY_SETS]))
+    al = out["alignment"]
+    # Self-alignment: path is the diagonal.
+    assert al["path"][0] == [0, 0] and al["path"][-1] == [11, 11]
+
+
+def test_cli_rejects_unknown_model():
+    with pytest.raises(SystemExit):
+        _run(["train", "nonexistent"])
+
+
+def test_cli_analyze_render(swing_mp4, tmp_path):
+    out_mp4 = str(tmp_path / "overlay.mp4")
+    _run(["analyze", swing_mp4, *TINY_SETS, "--render", out_mp4])
+    cap = cv2.VideoCapture(out_mp4)
+    assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 12
+    cap.release()

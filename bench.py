@@ -25,20 +25,34 @@ def _log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def _time_fn(fn, *args, warmup=2, iters=5, min_time=1.0):
-    """Mean wall time per call, fenced, with enough iterations that total
-    elapsed >= min_time so per-dispatch latency (tunnel RTT) amortizes."""
+def _fence(out):
+    """Force device completion by fetching a value.
+
+    `jax.block_until_ready` is NOT sufficient on remote/tunneled runtimes
+    (observed: it returns before execution, yielding impossible >peak
+    FLOP rates); materializing bytes on the host cannot be faked.
+    """
     import jax
+    import jax.numpy as jnp
+
+    leaf = jax.tree.leaves(out)[0]
+    return float(jnp.sum(leaf.astype(jnp.float32)))
+
+
+def _time_fn(fn, *args, warmup=2, iters=5, min_time=1.0):
+    """Mean wall time per call with a completion-forcing fetch, and enough
+    iterations that total elapsed >= min_time so per-dispatch latency and
+    the final fetch amortize."""
 
     for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
+        _fence(fn(*args))
 
     def run(n):
         t0 = time.perf_counter()
         out = None
         for _ in range(n):
             out = fn(*args)
-        jax.block_until_ready(out)
+        _fence(out)
         return (time.perf_counter() - t0) / n
 
     dt = run(iters)

@@ -62,13 +62,26 @@ def device_trace(log_dir: Optional[str] = None):
         jax.profiler.stop_trace()
 
 
+def value_fence(out) -> float:
+    """Force device completion by materializing a scalar on the host.
+
+    Stronger than `jax.block_until_ready`: on remote/tunneled runtimes the
+    latter can return before execution finishes (bench.py documents the
+    observed symptom), while fetching bytes cannot be faked.
+    """
+    import jax.numpy as jnp
+
+    leaf = jax.tree.leaves(out)[0]
+    return float(jnp.sum(leaf.astype(jnp.float32)))
+
+
 def timed_blocked(fn, *args, warmup: int = 1, iters: int = 5, **kw):
-    """Mean wall time of fn(*args) with dispatch fencing (bench helper)."""
+    """Mean wall time of fn(*args) with completion-forcing fencing."""
     for _ in range(warmup):
-        jax.block_until_ready(fn(*args, **kw))
+        value_fence(fn(*args, **kw))
     t0 = time.perf_counter()
     out = None
     for _ in range(iters):
         out = fn(*args, **kw)
-    jax.block_until_ready(out)
+    value_fence(out)
     return (time.perf_counter() - t0) / iters

@@ -15,6 +15,7 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import json
+import os
 import sys
 import time
 
@@ -65,7 +66,7 @@ def _time_fn(fn, *args, warmup=2, iters=5, min_time=1.0):
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--clip-frames", type=int, default=64)
-    parser.add_argument("--clips", type=int, default=4)
+    parser.add_argument("--clips", type=int, default=2)
     parser.add_argument("--height", type=int, default=1080)
     parser.add_argument("--width", type=int, default=1920)
     parser.add_argument("--iters", type=int, default=5)
@@ -93,15 +94,26 @@ def main():
     cfg = dataclasses.replace(cfg, length_buckets=(T,), video_hw=hw)
     pipe = orchestrator.Pipeline(cfg, seed=0)
 
-    _log(f"generating {args.clips} synthetic {hw[0]}p clips x {T} frames ...")
-    clips = []
-    boxes = []
-    for i in range(args.clips):
-        s = data_mod.make_swing_batch(
-            1, T, seed=i, image_hw=hw, render=True
-        )[0]
-        clips.append(s.frames)
-        boxes.append(s.boxes)
+    cache = f"/tmp/golfaction_bench_clips_{args.clips}x{T}_{hw[0]}x{hw[1]}.npz"
+    if os.path.exists(cache):
+        _log(f"loading cached clips from {cache}")
+        z = np.load(cache)
+        clips = list(z["frames"])
+        boxes = list(z["boxes"])
+    else:
+        _log(f"generating {args.clips} synthetic {hw[0]}p clips x {T} frames ...")
+        clips = []
+        boxes = []
+        for i in range(args.clips):
+            s = data_mod.make_swing_batch(
+                1, T, seed=i, image_hw=hw, render=True
+            )[0]
+            clips.append(s.frames)
+            boxes.append(s.boxes)
+        try:
+            np.savez(cache, frames=np.stack(clips), boxes=np.stack(boxes))
+        except OSError:
+            pass
 
     # --- headline: config 5, full pipeline fps (frames / wall second) ---
     # All clips run as ONE batched device program (vmapped core), the same

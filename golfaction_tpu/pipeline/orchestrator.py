@@ -161,7 +161,14 @@ class Pipeline:
         c = self.cfg
         kpts = self._pose_fn(params, frames, boxes)           # [T, V, 3]
         sk = gcn_mod.normalize_skeleton(kpts[None], valid[None])
-        logits = self.gcn_model.apply(params["gcn"], sk, valid[None])  # [1,T,P]
+        if c.gcn.inference_impl == "pallas" and jax.default_backend() == "tpu":
+            from golfaction_tpu.ops.pallas import gcn_kernel
+
+            logits = gcn_kernel.gcn_forward_pallas(
+                params["gcn"], c.gcn, sk, valid[None]
+            )                                                  # [1,T,P]
+        else:
+            logits = self.gcn_model.apply(params["gcn"], sk, valid[None])
         err_logits = self.error_model.apply(
             params["error"], sk, logits, valid[None]
         )                                                      # [1, E]

@@ -32,6 +32,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--artifacts", default="artifacts")
     ap.add_argument("--clips", type=int, default=48)
+    ap.add_argument("--aug", type=int, default=256,
+                    help="extra noise-matched synthetic (unrendered) clips")
     ap.add_argument("--frames", type=int, default=48)
     ap.add_argument("--steps", type=int, default=200)
     ap.add_argument("--batch-size", type=int, default=16)
@@ -78,13 +80,35 @@ def main():
         pred_kpts.append(np.asarray(kp))
         labels.append(s.phase_labels)
         flags.append(s.error_flags)
-    pred_kpts = jnp.asarray(np.stack(pred_kpts))       # [N, T, V, 3]
-    labels = jnp.asarray(np.stack(labels))
-    flags = jnp.asarray(np.stack(flags))
+    pred_kpts = np.stack(pred_kpts)                    # [N, T, V, 3]
+    labels = np.stack(labels)
+    flags = np.stack(flags)
+
+    # Noise-matched synthetic augmentation: measure the pose stage's actual
+    # per-joint residual spread on the rendered set, then generate many more
+    # clips as GT keypoints + matched gaussian noise (no rendering needed) —
+    # same distribution as runtime inputs at a fraction of the cost.
+    gt = np.stack([s.keypoints for s in samples])
+    resid = pred_kpts[..., :2] - gt[..., :2]
+    sigma = float(np.median(np.abs(resid))) * 1.4826   # robust std estimate
+    log(f"pose residual sigma ≈ {sigma:.2f} px; generating {args.aug} "
+        "noise-matched synthetic clips")
+    rng_aug = np.random.default_rng(123)
+    aug = data.make_swing_batch(args.aug, T, seed=560_000,
+                                image_hw=tuple(args.hw), fault_prob=0.5)
+    aug_k = np.stack([s.keypoints for s in aug])   # already image-space
+    aug_k[..., :2] += rng_aug.normal(0, sigma, aug_k[..., :2].shape)
+    pred_kpts = np.concatenate([pred_kpts, aug_k])
+    labels = np.concatenate([labels, np.stack([s.phase_labels for s in aug])])
+    flags = np.concatenate([flags, np.stack([s.error_flags for s in aug])])
+
+    pred_kpts = jnp.asarray(pred_kpts)
+    labels = jnp.asarray(labels)
+    flags = jnp.asarray(flags)
     valid = jnp.ones(labels.shape, bool)
     sk = gcn_mod.normalize_skeleton(pred_kpts, valid)
     N = sk.shape[0]
-    log(f"collected {N} predicted-skeleton clips")
+    log(f"total training clips (rendered+synthetic): {N}")
 
     tx = optax.adamw(args.lr, weight_decay=1e-4)
     rng = np.random.default_rng(0)
@@ -108,8 +132,13 @@ def main():
         if i % max(args.steps // 5, 1) == 0 or i == args.steps - 1:
             log(f"[gcn-cascade] step {i} loss {float(aux['loss']):.4f} "
                 f"acc {float(aux['acc']):.4f}")
+    def _next_step(tag):
+        cur = checkpoint.latest_step_dir(f"{args.artifacts}/params/{tag}")
+        base = int(cur.rsplit("_", 1)[1]) if cur else 0
+        return base + 1
+
     gcn_ck = checkpoint.save_params(f"{args.artifacts}/params/gcn", gparams,
-                                    step=10_000 + args.steps)
+                                    step=_next_step("gcn"))
 
     # ---- 3. Re-train error head on runtime inputs ----
     gcn_logits = jax.jit(lambda p, s, v: gcn_model.apply(p, s, v))(
@@ -136,7 +165,7 @@ def main():
             log(f"[error-cascade] step {i} loss {float(aux['loss']):.4f} "
                 f"acc {float(aux['acc']):.4f}")
     err_ck = checkpoint.save_params(f"{args.artifacts}/params/error", eparams,
-                                    step=10_000 + args.steps * 2)
+                                    step=_next_step("error"))
 
     print(json.dumps({"gcn_checkpoint": gcn_ck, "error_checkpoint": err_ck,
                       "clips": int(N)}))

@@ -117,8 +117,10 @@ def main():
 
     # --- headline: config 5, full pipeline fps (frames / wall second) ---
     # All clips run as ONE batched device program (vmapped core), the same
-    # path analyze_batch uses.
-    frames_dev = jnp.asarray(np.stack(clips))
+    # path analyze_batch uses.  Clips are transferred one at a time and
+    # stacked on-device: single host->device transfers beyond ~1.5 GB kill
+    # tunneled clients.
+    frames_dev = jnp.stack([jax.device_put(c) for c in clips])
     boxes_dev = jnp.asarray(np.stack(boxes))
     valid = jnp.ones((T,), bool)
     valid_b = jnp.ones((args.clips, T), bool)

@@ -1,0 +1,150 @@
+"""Online / streaming swing analysis.
+
+The reference rig is a live camera feeding the pipeline (reference
+README.md:11 "HARDWARE"); this module provides the incremental counterpart
+of `Pipeline.analyze`: push frames as they arrive, receive per-frame
+results with bounded latency.
+
+Design: a sliding window of `window` frames (one fixed jit bucket — the
+same compiled program as offline analysis, so no extra compiles) advances
+every `hop` frames; each step emits final results for the `hop` oldest
+frames, which at emission time have at least `window - hop` frames of
+temporal context on both models.  Person boxes come from the same
+motion-energy estimator (C++-accelerated) computed over the current window.
+
+Latency: `window` frames for the first emission, then `hop` frames per
+step.  At 30 fps with window=64, hop=16 that is ~2.1 s startup and ~0.5 s
+steady-state — the swing-review use case (record, then coach) is far less
+latency-sensitive than this.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from golfaction_tpu import config as cfg_mod
+from golfaction_tpu.pipeline import video_io
+
+
+class StreamAnalyzer:
+    """Incremental analysis over a frame stream.
+
+    Usage:
+        sa = StreamAnalyzer(pipe, window=64, hop=16)
+        for frame in camera:
+            for res in sa.push(frame):
+                ...  # res: dict(frame_index, keypoints[V,3], phase_label, ...)
+        for res in sa.flush():
+            ...
+    """
+
+    def __init__(self, pipeline, window: int = 64, hop: int = 16):
+        if hop < 1 or hop > window:
+            raise ValueError("need 1 <= hop <= window")
+        if window not in pipeline.cfg.length_buckets:
+            raise ValueError(
+                f"window {window} must be one of the pipeline's length "
+                f"buckets {pipeline.cfg.length_buckets} (shared jit program)"
+            )
+        self.pipe = pipeline
+        self.window = window
+        self.hop = hop
+        self._buf: list[np.ndarray] = []
+        self._next_emit = 0          # global index of next frame to emit
+        self._total_pushed = 0
+
+    def push(self, frame: np.ndarray) -> list[dict]:
+        """Add one frame [H, W, 3] uint8; returns newly-final results."""
+        self._buf.append(np.asarray(frame))
+        self._total_pushed += 1
+        if len(self._buf) < self.window:
+            return []
+        out = self._process_window(emit_from_local=self._local_emit_start())
+        # Slide.
+        self._buf = self._buf[self.hop:]
+        return out
+
+    def flush(self) -> list[dict]:
+        """Process remaining frames (padded window) and emit everything left."""
+        if self._next_emit >= self._total_pushed:
+            self._buf = []
+            return []
+        if not self._buf:
+            return []
+        frames = np.stack(self._buf)
+        boxes = video_io.estimate_person_boxes(frames)
+        frames_p, boxes_p, valid = video_io.pad_to_bucket(
+            frames, boxes, self.pipe.cfg.length_buckets
+        )
+        res = self.pipe._core(
+            self.pipe.params, jnp.asarray(frames_p), jnp.asarray(boxes_p),
+            jnp.asarray(valid),
+        )
+        start_global = self._total_pushed - len(self._buf)
+        out = self._emit(res, start_global, emit_from_local=self._next_emit - start_global,
+                         n_valid=len(self._buf))
+        self._buf = []
+        return out
+
+    # ------------------------------------------------------------------
+    def _local_emit_start(self) -> int:
+        window_start_global = self._total_pushed - self.window
+        return self._next_emit - window_start_global
+
+    def _process_window(self, emit_from_local: int) -> list[dict]:
+        frames = np.stack(self._buf[-self.window:])
+        boxes = video_io.estimate_person_boxes(frames)
+        valid = np.ones(self.window, bool)
+        res = self.pipe._core(
+            self.pipe.params, jnp.asarray(frames), jnp.asarray(boxes),
+            jnp.asarray(valid),
+        )
+        start_global = self._total_pushed - self.window
+        # Emit up to (but excluding) the frames that will still gain context
+        # from the next window — i.e. everything older than window - hop,
+        # unless this is the first window (emit the whole backlog minus tail).
+        emit_until_local = self.window - (self.window - self.hop)  # = hop
+        emit_until_local = max(emit_until_local, emit_from_local)
+        # First window: emit the backlog [0, hop) plus everything that can
+        # never be re-seen; subsequent windows: exactly `hop` frames.
+        return self._emit(res, start_global, emit_from_local,
+                          n_valid=self.window,
+                          emit_until_local=emit_until_local)
+
+    def _emit(self, res, start_global: int, emit_from_local: int,
+              n_valid: int, emit_until_local: Optional[int] = None) -> list[dict]:
+        if emit_until_local is None:
+            emit_until_local = n_valid
+        kpts = np.asarray(res["keypoints"])
+        labels = np.asarray(res["phase_labels"])
+        logits = np.asarray(res["phase_logits"])
+        probs = np.asarray(jax.nn.sigmoid(res["error_logits"]))
+        out = []
+        for i in range(max(emit_from_local, 0), emit_until_local):
+            gi = start_global + i
+            if gi < self._next_emit or i >= n_valid:
+                continue
+            out.append({
+                "frame_index": gi,
+                "keypoints": kpts[i],
+                "phase_label": int(labels[i]),
+                "phase": cfg_mod.SWING_PHASES[int(labels[i])],
+                "phase_logits": logits[i],
+                "error_probs": probs,
+            })
+            self._next_emit = gi + 1
+        return out
+
+
+def analyze_stream(
+    pipeline, frames: Iterator[np.ndarray], window: int = 64, hop: int = 16
+) -> Iterator[dict]:
+    """Generator convenience: yields per-frame results from a frame iterator."""
+    sa = StreamAnalyzer(pipeline, window=window, hop=hop)
+    for f in frames:
+        yield from sa.push(f)
+    yield from sa.flush()

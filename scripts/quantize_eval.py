@@ -1,0 +1,117 @@
+"""PTQ int8 pose: accuracy + speed evaluation with the trained checkpoint.
+
+Calibrates on rendered swing crops, then reports PCK@0.05 for the float and
+int8 paths on held-out clips plus TPU wall-time for both.
+
+    python scripts/quantize_eval.py --artifacts artifacts
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--artifacts", default="artifacts")
+    ap.add_argument("--calib-clips", type=int, default=4)
+    ap.add_argument("--eval-clips", type=int, default=6)
+    ap.add_argument("--frames", type=int, default=8)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from golfaction_tpu import config as cfg_mod
+    from golfaction_tpu.models import pose, pose_quant
+    from golfaction_tpu.ops import affine, heatmap, preprocess
+    from golfaction_tpu.train import checkpoint, data, metrics
+
+    def log(m):
+        print(m, file=sys.stderr, flush=True)
+
+    cfg = cfg_mod.PoseConfig()
+    model = pose.create_pose_model(cfg)
+    params = model.init(jax.random.key(0), jnp.zeros((1, *cfg.input_hw, 3)))
+    ck = checkpoint.latest_step_dir(f"{args.artifacts}/params/pose")
+    if ck:
+        params = checkpoint.restore_params(ck, like=params)
+        log(f"loaded pose params from {ck}")
+    else:
+        log("WARNING: no trained pose checkpoint; evaluating random weights")
+
+    hw = (540, 960)
+
+    def crops_and_gt(n, seed):
+        samples = data.make_swing_batch(n, args.frames, seed=seed,
+                                        image_hw=hw, render=True)
+        crops, gts, boxes_all = [], [], []
+        for s in samples:
+            boxes = affine.box_to_center_scale(
+                jnp.asarray(s.boxes), aspect_ratio=cfg.input_hw[1] / cfg.input_hw[0])
+            crops.append(preprocess.crop_resize_normalize(
+                jnp.asarray(s.frames), boxes, cfg.input_hw))
+            gts.append(s.keypoints)
+            boxes_all.append(boxes)
+        return jnp.concatenate(crops), np.concatenate(gts), jnp.concatenate(boxes_all)
+
+    log("rendering calibration + eval clips ...")
+    calib_crops, _, _ = crops_and_gt(args.calib_clips, 660_000)
+    eval_crops, gt_kpts, eval_boxes = crops_and_gt(args.eval_clips, 661_000)
+
+    log("calibrating ...")
+    qw, scales = pose_quant.prepare_int8(params, cfg, calib_crops)
+
+    f_float = jax.jit(lambda p, x: model.apply(p, x))
+    f_int8 = jax.jit(lambda p, x: pose_quant.pose_forward_int8(p, qw, scales, cfg, x))
+
+    def pck_of(hm):
+        kpts = heatmap.decode_heatmaps(hm, "udp")
+        img = heatmap.keypoints_to_image(kpts, eval_boxes, cfg.heatmap_hw, cfg.input_hw)
+        bbox = jnp.maximum(eval_boxes[:, 2], eval_boxes[:, 3])
+        return float(metrics.pck(img, jnp.asarray(gt_kpts), bbox, alpha=0.05))
+
+    hm_f = f_float(params, eval_crops)
+    hm_q = f_int8(params, eval_crops)
+    pck_f, pck_q = pck_of(hm_f), pck_of(hm_q)
+    log(f"PCK@0.05 float={pck_f:.4f} int8={pck_q:.4f}")
+
+    def fence(o):
+        return float(jnp.sum(o))
+
+    def t(f, n=20):
+        fence(f())
+        t0 = time.perf_counter()
+        o = None
+        for _ in range(n):
+            o = f()
+        fence(o)
+        return (time.perf_counter() - t0) / n * 1e3
+
+    ms_f = t(lambda: f_float(params, eval_crops))
+    ms_q = t(lambda: f_int8(params, eval_crops))
+    n_crops = eval_crops.shape[0]
+    log(f"forward {n_crops} crops: float {ms_f:.2f} ms | int8 {ms_q:.2f} ms "
+        f"({ms_f / ms_q:.2f}x)")
+
+    print(json.dumps({
+        "pck_float": pck_f, "pck_int8": pck_q,
+        "ms_float": ms_f, "ms_int8": ms_q,
+        "speedup": ms_f / ms_q, "crops": int(n_crops),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -74,6 +74,14 @@ def cmd_analyze(args):
             "cost": float(res.alignment.cost),
             "path": np.asarray(res.alignment.path)[:L].tolist(),
         }
+    if args.report:
+        from golfaction_tpu.pipeline import report as report_mod
+
+        rep = report_mod.build_report(
+            res, reference_name=args.reference or "reference swing")
+        out["report"] = rep
+        _log(report_mod.format_report(rep))
+
     if args.render:
         from golfaction_tpu.pipeline import video_io, visualize
 
@@ -138,6 +146,9 @@ def main(argv=None):
     a.add_argument("--out", help="write full JSON result to file")
     a.add_argument("--render", metavar="OUT_MP4",
                    help="write an overlay video (skeleton + phase labels)")
+    a.add_argument("--report", action="store_true",
+                   help="include a coach-style swing report (phases, tempo, "
+                        "faults, comparison)")
     a.set_defaults(fn=cmd_analyze)
 
     t = sub.add_parser("train", help="train one model on synthetic swings")

@@ -102,6 +102,47 @@ def cmd_analyze(args):
         print(json.dumps(out))
 
 
+def cmd_compare(args):
+    """Pro-vs-amateur comparison: aligned side-by-side video + report
+    (reference README.md:50-52 "Compare 2 skeleton")."""
+    from golfaction_tpu import config as cfg_mod
+    from golfaction_tpu.pipeline import orchestrator, report as report_mod
+    from golfaction_tpu.pipeline import video_io, visualize
+    from golfaction_tpu.train import checkpoint
+
+    cfg = cfg_mod.get_config(args.preset)
+    if args.set:
+        cfg = cfg_mod.apply_overrides(cfg, args.set)
+    pipe = orchestrator.Pipeline(cfg)
+    if args.checkpoint:
+        pipe.params = checkpoint.load_pipeline_params(args.checkpoint,
+                                                      like=pipe.params)
+
+    _log(f"analyzing reference {args.reference} ...")
+    ref_res = pipe.analyze(args.reference)
+    _log(f"analyzing {args.video} ...")
+    res = pipe.analyze(args.video, reference=pipe.extract_skeleton(ref_res))
+
+    rep = report_mod.build_report(res, reference_name=args.reference)
+    _log(report_mod.format_report(rep))
+
+    if args.out_video:
+        frames_a, _ = video_io.load_video(args.video)
+        frames_b, _ = video_io.load_video(args.reference)
+        L = int(res.alignment.path_length)
+        panels = visualize.render_comparison(
+            frames_a, np.asarray(res.keypoints),
+            frames_b, np.asarray(ref_res.keypoints),
+            np.asarray(res.alignment.path), L,
+            max_pairs=args.max_pairs,
+        )
+        visualize.write_video(args.out_video, panels, fps=12)
+        _log(f"wrote comparison video {args.out_video}")
+        rep["comparison_video"] = args.out_video
+
+    print(json.dumps(rep))
+
+
 def cmd_train(args):
     from golfaction_tpu import config as cfg_mod
     from golfaction_tpu.train import checkpoint, loops
@@ -150,6 +191,18 @@ def main(argv=None):
                    help="include a coach-style swing report (phases, tempo, "
                         "faults, comparison)")
     a.set_defaults(fn=cmd_analyze)
+
+    c = sub.add_parser("compare",
+                       help="align two swings: report + side-by-side video")
+    c.add_argument("video", help="the swing to review")
+    c.add_argument("reference", help="the reference (pro) swing")
+    c.add_argument("--checkpoint", help="trained params directory")
+    c.add_argument("--preset", default="full_pipeline")
+    c.add_argument("--set", action="append", default=[], metavar="KEY=VALUE")
+    c.add_argument("--out-video", help="write aligned side-by-side mp4")
+    c.add_argument("--max-pairs", type=int, default=48,
+                   help="max aligned frame pairs in the video")
+    c.set_defaults(fn=cmd_compare)
 
     t = sub.add_parser("train", help="train one model on synthetic swings")
     t.add_argument("model", choices=["pose", "gcn", "align", "error"])

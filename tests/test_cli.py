@@ -80,3 +80,16 @@ def test_cli_analyze_render(swing_mp4, tmp_path):
     cap = cv2.VideoCapture(out_mp4)
     assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 12
     cap.release()
+
+
+def test_cli_compare(swing_mp4, tmp_path):
+    out_mp4 = str(tmp_path / "cmp.mp4")
+    out = json.loads(_run(["compare", swing_mp4, swing_mp4, *TINY_SETS,
+                           "--out-video", out_mp4, "--max-pairs", "6"]))
+    assert out["comparison"]["against"] == swing_mp4
+    # Self-comparison: perfectly even pacing.
+    assert out["comparison"]["max_lag_frames"] == 0
+    assert out["comparison_video"] == out_mp4
+    cap = cv2.VideoCapture(out_mp4)
+    assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 6
+    cap.release()

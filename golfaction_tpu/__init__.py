@@ -37,4 +37,12 @@ def __getattr__(name):
         from golfaction_tpu.pipeline import orchestrator
 
         return getattr(orchestrator, name)
+    if name in ("StreamAnalyzer", "analyze_stream"):
+        from golfaction_tpu.pipeline import streaming
+
+        return getattr(streaming, name)
+    if name in ("build_report", "format_report"):
+        from golfaction_tpu.pipeline import report
+
+        return getattr(report, name)
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

@@ -21,3 +21,9 @@ import jax  # noqa: E402
 # regardless, so explicitly pin the platform (this is what actually works).
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)
+
+# Persistent compilation cache: on this 1-core box compiles dominate suite
+# wall time (measured 6x speedup on repeat runs).  Safe to share across runs —
+# keys include jaxlib version + topology.
+jax.config.update("jax_compilation_cache_dir", "/tmp/golfaction_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

@@ -48,6 +48,7 @@ def _run(argv):
     return buf.getvalue()
 
 
+@pytest.mark.slow
 def test_cli_analyze_json_contract(swing_mp4, tmp_path):
     out_file = str(tmp_path / "res.json")
     _run(["analyze", swing_mp4, *TINY_SETS, "--out", out_file])
@@ -61,6 +62,7 @@ def test_cli_analyze_json_contract(swing_mp4, tmp_path):
     assert "alignment" not in r  # no reference given
 
 
+@pytest.mark.slow
 def test_cli_analyze_with_reference(swing_mp4):
     out = json.loads(_run(["analyze", swing_mp4, "--reference", swing_mp4,
                            *TINY_SETS]))
@@ -74,6 +76,7 @@ def test_cli_rejects_unknown_model():
         _run(["train", "nonexistent"])
 
 
+@pytest.mark.slow
 def test_cli_analyze_render(swing_mp4, tmp_path):
     out_mp4 = str(tmp_path / "overlay.mp4")
     _run(["analyze", swing_mp4, *TINY_SETS, "--render", out_mp4])
@@ -82,6 +85,7 @@ def test_cli_analyze_render(swing_mp4, tmp_path):
     cap.release()
 
 
+@pytest.mark.slow
 def test_cli_compare(swing_mp4, tmp_path):
     out_mp4 = str(tmp_path / "cmp.mp4")
     out = json.loads(_run(["compare", swing_mp4, swing_mp4, *TINY_SETS,

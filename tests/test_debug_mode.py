@@ -1,6 +1,8 @@
 """Debug-mode CI job (SURVEY.md §5 "race detection / sanitizers"):
 jax_debug_nans over a train step, and donation-aliasing correctness."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -28,6 +30,7 @@ def _setup():
     return params, loss_fn, batch
 
 
+@pytest.mark.slow
 def test_train_step_clean_under_debug_nans():
     params, loss_fn, batch = _setup()
     with jax.debug_nans(True):
@@ -36,6 +39,7 @@ def test_train_step_clean_under_debug_nans():
     assert np.isfinite(float(loss))
 
 
+@pytest.mark.slow
 def test_donation_does_not_corrupt_results():
     # The donated step must produce the same params as a non-donated step.
     params, loss_fn, batch = _setup()

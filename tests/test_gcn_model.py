@@ -27,6 +27,7 @@ def model_and_params():
     return model, params
 
 
+@pytest.mark.slow
 def test_output_shape(model_and_params):
     model, params = model_and_params
     x = jax.random.normal(jax.random.key(1), (2, 16, TINY.num_joints, 3))
@@ -36,6 +37,7 @@ def test_output_shape(model_and_params):
     assert logits.dtype == jnp.float32
 
 
+@pytest.mark.slow
 def test_padding_does_not_leak(model_and_params):
     # Changing the content of padded frames must not change valid-frame logits.
     model, params = model_and_params
@@ -50,6 +52,7 @@ def test_padding_does_not_leak(model_and_params):
     )
 
 
+@pytest.mark.slow
 def test_jit_deterministic(model_and_params):
     model, params = model_and_params
     x = jax.random.normal(jax.random.key(4), (2, 12, TINY.num_joints, 3))
@@ -98,6 +101,7 @@ def test_normalize_skeleton_invariances():
     np.testing.assert_allclose(out[..., 2], np.asarray(kpts[..., 2]), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_uniform_graph_strategy_builds():
     cfg = dataclasses.replace(TINY, graph_strategy="uniform")
     model = gcn.create_gcn_model(cfg)

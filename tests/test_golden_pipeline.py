@@ -23,6 +23,7 @@ def golden():
     return np.load(GOLDEN)
 
 
+@pytest.mark.slow
 def test_pipeline_matches_golden(golden):
     pipe = build_pipeline()
     clip_a, clip_b = fixture_clips()

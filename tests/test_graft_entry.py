@@ -9,14 +9,17 @@ from golfaction_tpu import config as cfg_mod
 from golfaction_tpu.pipeline import orchestrator
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_8():
     graft.dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_2():
     graft.dryrun_multichip(2)
 
 
+@pytest.mark.slow
 def test_analyze_batch_quarantines_bad_clips():
     cfg = cfg_mod.PipelineConfig(
         pose=cfg_mod.PoseConfig(input_hw=(64, 48), heatmap_hw=(16, 12),

@@ -34,6 +34,7 @@ def test_forward_matches_flax(setup):
                                rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_padding_isolation(setup):
     model, params, x, valid = setup
     base = gk.gcn_forward_pallas(params, CFG, x, valid)
@@ -43,6 +44,7 @@ def test_padding_isolation(setup):
                                atol=1e-4)
 
 
+@pytest.mark.slow
 def test_default_config_shapes():
     # Default 6-block config (the production model) builds and runs.
     cfg = GCNConfig(dropout=0.0, dtype="float32")

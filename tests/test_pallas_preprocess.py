@@ -19,6 +19,7 @@ def _frames_boxes(rng, b=2, h=120, w=160):
     return frames, boxes
 
 
+@pytest.mark.slow
 def test_matches_oracle():
     rng = np.random.default_rng(0)
     frames, boxes = _frames_boxes(rng)
@@ -28,6 +29,7 @@ def test_matches_oracle():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=0.06)
 
 
+@pytest.mark.slow
 def test_h_padding_path():
     # H=100 not divisible by chunk=32 exercises row padding; W=144 lane pad.
     rng = np.random.default_rng(1)

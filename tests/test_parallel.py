@@ -46,6 +46,7 @@ def _gcn_setup():
     return model, params, loss_fn, batch
 
 
+@pytest.mark.slow
 def test_dp_train_step_matches_single_device():
     model, params, loss_fn, batch = _gcn_setup()
     tx = optax.sgd(1e-2)
@@ -74,6 +75,7 @@ def test_dp_train_step_matches_single_device():
         np.testing.assert_allclose(np.asarray(c), np.asarray(a), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_dp_forward_sharded_output():
     model, params, loss_fn, batch = _gcn_setup()
     mesh = mesh_mod.make_mesh()
@@ -94,6 +96,7 @@ def test_dp_forward_sharded_output():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_grad_allreduce_semantics():
     # Loss averages over batch; DP grads must equal full-batch grads even for
     # batch-dependent normalization. Verify on a batch where shards differ.
@@ -113,6 +116,7 @@ def test_grad_allreduce_semantics():
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_pipeline_analyze_batch_over_mesh():
     # analyze_batch sharded over the 8-device CPU mesh == single-device result.
     from golfaction_tpu.pipeline import orchestrator

@@ -46,6 +46,7 @@ def test_jit_and_determinism(model_and_params):
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_batch_independence(model_and_params):
     # Per-sample outputs must not depend on batch composition (no BatchNorm).
     model, params = model_and_params
@@ -57,6 +58,7 @@ def test_batch_independence(model_and_params):
     )
 
 
+@pytest.mark.slow
 def test_bfloat16_config_builds():
     cfg = dataclasses.replace(TINY, dtype="bfloat16")
     model = pose.create_pose_model(cfg)

@@ -29,6 +29,7 @@ def test_ref_forward_matches_flax(setup):
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_int8_forward_close_to_float(setup):
     model, params, x = setup
     calib = jax.random.normal(jax.random.key(2), (8, *TINY.input_hw, 3))
@@ -48,6 +49,7 @@ def test_int8_forward_close_to_float(setup):
     assert agree > 0.7, f"argmax agreement {agree}"
 
 
+@pytest.mark.slow
 def test_int8_weights_are_int8(setup):
     _, params, _ = setup
     qw = pose_quant.quantize_weights(params, TINY)
@@ -58,6 +60,7 @@ def test_int8_weights_are_int8(setup):
     assert rb["Conv_0"][0].dtype == jnp.int8
 
 
+@pytest.mark.slow
 def test_calibration_scales_cover_all_conv_layers(setup):
     _, params, _ = setup
     calib = jax.random.normal(jax.random.key(3), (4, *TINY.input_hw, 3))

@@ -29,6 +29,7 @@ def _clip(t, seed=0):
     return s.frames
 
 
+@pytest.mark.slow
 def test_stream_covers_every_frame_once(pipe):
     frames = _clip(40)
     results = list(streaming.analyze_stream(pipe, iter(frames), window=16, hop=4))
@@ -40,6 +41,7 @@ def test_stream_covers_every_frame_once(pipe):
         assert isinstance(r["phase"], str)
 
 
+@pytest.mark.slow
 def test_stream_short_clip_flush_only(pipe):
     frames = _clip(7, seed=1)  # shorter than the window: flush path only
     sa = streaming.StreamAnalyzer(pipe, window=16, hop=4)

@@ -1,5 +1,7 @@
 """Training loops: losses decrease on synthetic data; metrics; checkpoints."""
 
+import pytest
+
 import os
 
 import jax
@@ -14,6 +16,7 @@ TRAIN = cfg_mod.TrainConfig(
 )
 
 
+@pytest.mark.slow
 def test_gcn_training_reduces_loss():
     gcn_cfg = cfg_mod.GCNConfig(block_channels=(8, 16), temporal_branches=((3, 1),),
                                 dropout=0.0, dtype="float32")
@@ -22,12 +25,14 @@ def test_gcn_training_reduces_loss():
     assert state.step == TRAIN.total_steps
 
 
+@pytest.mark.slow
 def test_error_training_reduces_loss():
     err_cfg = cfg_mod.ErrorConfig(hidden_dim=16, dtype="float32")
     state, hist = loops.train_error(err_cfg, TRAIN, frames_per_clip=24, log_every=1)
     assert hist[-1]["loss"] < hist[0]["loss"]
 
 
+@pytest.mark.slow
 def test_align_training_reduces_loss():
     al_cfg = cfg_mod.AlignConfig(embed_dim=8, hidden_channels=(8,), dtype="float32")
     cfg = cfg_mod.TrainConfig(batch_size=2, learning_rate=3e-3, warmup_steps=2,
@@ -36,6 +41,7 @@ def test_align_training_reduces_loss():
     assert hist[-1]["loss"] < hist[0]["loss"]
 
 
+@pytest.mark.slow
 def test_pose_training_reduces_loss():
     pose_cfg = cfg_mod.PoseConfig(input_hw=(64, 48), heatmap_hw=(16, 12),
                                   stage_blocks=(1, 1, 1), stage_channels=(8, 8, 16),
@@ -106,6 +112,7 @@ def test_checkpoint_round_trip(tmp_path):
     assert checkpoint.latest_step_dir(str(tmp_path / "ckpt")) == path
 
 
+@pytest.mark.slow
 def test_checkpoint_resume_continues_training(tmp_path):
     # Train 8 steps with checkpointing every 4; resume from step 4 and verify
     # the final params match an uninterrupted run (same data stream).

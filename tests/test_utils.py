@@ -3,6 +3,8 @@
 import json
 import time
 
+import pytest
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -66,6 +68,7 @@ def test_apply_overrides_nested():
         cfg_mod.apply_overrides(cfg, ["missing_equals"])
 
 
+@pytest.mark.slow
 def test_pipeline_logger_integration(tmp_path):
     from golfaction_tpu import config as cfg_mod
     from golfaction_tpu.pipeline import orchestrator

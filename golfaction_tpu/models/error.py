@@ -3,14 +3,27 @@
 The reference's "ERROR DETECTION MODEL" (reference README.md:19): flags swing
 faults from the phase-segmented skeleton sequence (SURVEY.md §2
 "Error-detection classifier"; BASELINE north_star: "error flags ... batched
-scan kernels on-device").
+scan kernels on-device").  Per SURVEY.md §1 L3, the classifier sits above
+BOTH the segmentation phases and the temporal alignment: when a reference
+swing is available, per-frame deviations from the DTW-aligned reference are
+first-class input features.
 
 Design: the phase posteriors from the segmentation head act as a *soft
-temporal pooling matrix* — skeleton features are aggregated per swing phase
+temporal pooling matrix* — per-frame features are aggregated per swing phase
 with one matmul ([P, T] @ [T, F]), giving a fixed-size phase-conditioned
 summary regardless of clip length.  An MLP over the flattened summary emits
 one logit per fault (multi-label).  This keeps the whole classifier a couple
 of MXU matmuls with no dynamic shapes, and is padding-mask exact.
+
+Per-frame features:
+  * joint positions + first temporal difference (velocity);
+  * joint-angle features (cos/sin at elbows/knees/shoulders/hips, spine tilt,
+    head drift) + their angular velocities — faults like casting or reverse
+    spine are angle-space patterns that raw coordinates hide;
+  * optional alignment deviations: signed offsets and per-joint distance
+    between the clip and a reference swing warped onto the clip's timeline
+    via the DTW path, plus a has-reference flag (zeros when absent, so one
+    parameter set serves both modes).
 """
 
 from __future__ import annotations
@@ -20,29 +33,84 @@ import jax.numpy as jnp
 
 from golfaction_tpu.config import ErrorConfig
 
+# Angle triplets (a, vertex, b) over COCO-17 joints: elbows, knees,
+# shoulder and hip hinges on both sides.
+_ANGLE_TRIPLETS = (
+    (5, 7, 9), (6, 8, 10),      # elbows
+    (11, 13, 15), (12, 14, 16),  # knees
+    (7, 5, 11), (8, 6, 12),     # shoulders (arm vs torso)
+    (5, 11, 13), (6, 12, 14),   # hip hinges
+)
+NUM_ANGLE_FEATURES = 2 * len(_ANGLE_TRIPLETS) + 3  # cos/sin + spine + head
 
-def _dtype(cfg: ErrorConfig):
-    return jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+
+def angle_features(sk: jnp.ndarray) -> jnp.ndarray:
+    """Skeletons [B, T, V, C>=2] -> angle features [B, T, NUM_ANGLE_FEATURES].
+
+    cos/sin of each triplet angle (scale-invariant), spine tilt (cos/sin of
+    mid-hip -> mid-shoulder vs vertical), and lateral head drift relative to
+    mid-hip in torso-length units.
+    """
+    xy = sk[..., :2].astype(jnp.float32)
+    eps = 1e-6
+
+    def unit(v):
+        return v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), eps)
+
+    feats = []
+    for a, c, b in _ANGLE_TRIPLETS:
+        u = unit(xy[..., a, :] - xy[..., c, :])
+        w = unit(xy[..., b, :] - xy[..., c, :])
+        cos = (u * w).sum(-1)
+        sin = u[..., 0] * w[..., 1] - u[..., 1] * w[..., 0]
+        feats += [cos, sin]
+
+    mid_hip = (xy[..., 11, :] + xy[..., 12, :]) / 2
+    mid_sho = (xy[..., 5, :] + xy[..., 6, :]) / 2
+    spine = unit(mid_sho - mid_hip)
+    feats += [spine[..., 0], spine[..., 1]]
+
+    torso = jnp.maximum(jnp.linalg.norm(mid_sho - mid_hip, axis=-1), eps)
+    feats.append((xy[..., 0, 0] - mid_hip[..., 0]) / torso)
+    return jnp.stack(feats, axis=-1)
 
 
 class ErrorClassifier(nn.Module):
-    """(skeletons [B,T,V,C], phase_logits [B,T,P], valid [B,T]) -> logits [B,E]."""
+    """(skeletons [B,T,V,C], phase_logits [B,T,P], valid [B,T],
+    ref_aligned [B,T,V,C] | None) -> logits [B,E].
+
+    `ref_aligned` is the reference swing's (normalized) skeleton warped onto
+    the clip's frames via the DTW alignment path; None means "no reference"
+    and the deviation feature block is zeros with a zero has-ref flag.
+    """
 
     cfg: ErrorConfig = ErrorConfig()
 
     @nn.compact
-    def __call__(self, skeletons, phase_logits, valid=None):
+    def __call__(self, skeletons, phase_logits, valid=None, ref_aligned=None):
         cfg = self.cfg
-        dt = _dtype(cfg)
+        dt = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
         B, T, V, C = skeletons.shape
 
-        # Per-frame features: joints + first temporal difference (velocity),
-        # so faults expressed in dynamics (casting, early extension) are
-        # visible to a per-phase pooled model.
-        x = skeletons.astype(dt).reshape(B, T, V * C)
+        x = skeletons.astype(jnp.float32).reshape(B, T, V * C)
         vel = jnp.diff(x, axis=1, prepend=x[:, :1])
-        feat = jnp.concatenate([x, vel], axis=-1)          # [B, T, 2VC]
-        feat = nn.Dense(cfg.hidden_dim, dtype=dt)(feat)
+        ang = angle_features(skeletons)
+        angvel = jnp.diff(ang, axis=1, prepend=ang[:, :1])
+
+        # Alignment-deviation block (SURVEY.md §2 "Depends on: seg + align").
+        if ref_aligned is None:
+            dev = jnp.zeros((B, T, V * 2 + V), jnp.float32)
+            has_ref = jnp.zeros((B, T, 1), jnp.float32)
+        else:
+            diff = (skeletons[..., :2] - ref_aligned[..., :2]).astype(
+                jnp.float32
+            )
+            dist = jnp.linalg.norm(diff, axis=-1)             # [B, T, V]
+            dev = jnp.concatenate([diff.reshape(B, T, V * 2), dist], -1)
+            has_ref = jnp.ones((B, T, 1), jnp.float32)
+
+        feat = jnp.concatenate([x, vel, ang, angvel, dev, has_ref], axis=-1)
+        feat = nn.Dense(cfg.hidden_dim, dtype=dt)(feat.astype(dt))
         feat = nn.LayerNorm(dtype=dt)(feat)
         feat = nn.relu(feat)
 

@@ -173,6 +173,21 @@ def _cost_bwd(gamma, interpret, res, g):
 softdtw_cost_pallas.defvjp(_cost_fwd, _cost_bwd)
 
 
+def softdtw_cost_masked_pallas(D: jnp.ndarray, la, lb, gamma: float,
+                               interpret=None):
+    """Batched masked soft-DTW cost: D [B, Ta, Tb], la/lb [B] -> cost [B].
+
+    The DP flows strictly forward, so the cost of the trimmed problem is the
+    full padded table read at (la-1, lb-1) (same argument as
+    ops.softdtw.softdtw_cost_masked).
+    """
+    B = D.shape[0]
+    _, R = softdtw_table_pallas(D, gamma, interpret)
+    la = jnp.broadcast_to(jnp.asarray(la, jnp.int32), (B,))
+    lb = jnp.broadcast_to(jnp.asarray(lb, jnp.int32), (B,))
+    return R[jnp.arange(B), la - 1, lb - 1]
+
+
 def dtw_path_pallas(D: jnp.ndarray, la=None, lb=None):
     """Batched hard-DTW path using the Pallas wavefront table (gamma=0).
 

@@ -345,6 +345,27 @@ def _backtrack(R: jnp.ndarray, la, lb):
     return rev[src].astype(jnp.int32), length
 
 
+def warp_by_path(ref_vals: jnp.ndarray, path: jnp.ndarray, length, T: int):
+    """Warp per-frame reference values onto the clip timeline via a DTW path.
+
+    ref_vals [Tr, ...], path [L, 2] int32 rows (clip_idx, ref_idx) with -1
+    padding beyond `length`, T = clip timeline length (static).  Returns
+    [T, ...]: for each clip frame t, the mean of all reference frames the
+    path aligns to t (zeros for frames the path never visits, e.g. bucket
+    padding).  Static shapes throughout — scatter-add + count.
+    """
+    L = path.shape[0]
+    lmask = jnp.arange(L) < length
+    ti = jnp.where(lmask, path[:, 0], T)  # out-of-range bucket collects pads
+    rj = jnp.clip(jnp.where(lmask, path[:, 1], 0), 0, ref_vals.shape[0] - 1)
+    extra = (1,) * (ref_vals.ndim - 1)
+    w = lmask.astype(jnp.float32).reshape(L, *extra)
+    acc = jnp.zeros((T + 1, *ref_vals.shape[1:]), jnp.float32)
+    acc = acc.at[ti].add(ref_vals[rj].astype(jnp.float32) * w)
+    cnt = jnp.zeros((T + 1,), jnp.float32).at[ti].add(lmask.astype(jnp.float32))
+    return acc[:T] / jnp.maximum(cnt[:T], 1.0).reshape(T, *extra)
+
+
 # Batched convenience wrappers.
 softdtw_cost_batch = jax.vmap(softdtw_cost, in_axes=(0, None))
 softdtw_with_alignment_batch = jax.vmap(softdtw_with_alignment, in_axes=(0, None))

@@ -93,6 +93,24 @@ class Pipeline:
         else:
             self._core_batch = jax.jit(vmapped)
         self._align = jax.jit(self._align_fn)
+        # Batched alignment: every clip in a group aligns against ONE
+        # reference swing in a single device program (the soft-DTW wavefront
+        # vmaps over the clip axis, so the VPU sees B diagonals per step
+        # instead of dispatching B separate pair programs).  With a mesh the
+        # clip axis shards over `data` and the reference replicates.
+        if self.mesh is not None:
+            from golfaction_tpu.parallel import mesh as mesh_mod
+
+            rep = mesh_mod.replicated(self.mesh)
+            bsh = mesh_mod.batch_sharding(self.mesh)
+            self._align_batch = jax.jit(
+                self._align_batch_fn,
+                in_shardings=(rep, bsh, bsh, rep, rep, bsh),
+                out_shardings=bsh,
+            )
+        else:
+            self._align_batch = jax.jit(self._align_batch_fn)
+        self._align_refine = jax.jit(self._align_refine_fn)
         self._pose_only = jax.jit(self._pose_fn)
 
     # ------------------------------------------------------------------
@@ -194,6 +212,79 @@ class Pipeline:
         path, length = softdtw.dtw_path_masked(D, la, lb)
         return {"cost": cost, "path": path, "path_length": length}
 
+    def _align_refine_fn(self, params, kpts, valid, ref_kpts, ref_valid,
+                         phase_logits):
+        """Alignment + alignment-conditioned error refinement (one pair).
+
+        Realizes SURVEY.md §1 L3 ("error detection consumes L2 phases + L4
+        alignment"): the reference swing is warped onto the clip's timeline
+        via the DTW path and the error head re-runs with per-frame deviation
+        features.
+        """
+        out = self._align_fn(params, kpts, valid, ref_kpts, ref_valid)
+        sa = gcn_mod.normalize_skeleton(kpts[None], valid[None])
+        sr = gcn_mod.normalize_skeleton(ref_kpts[None], ref_valid[None])[0]
+        ref_warp = softdtw.warp_by_path(
+            sr, out["path"], out["path_length"], kpts.shape[0]
+        )
+        out["error_logits"] = self.error_model.apply(
+            params["error"], sa, phase_logits[None], valid[None],
+            ref_warp[None],
+        )[0]
+        return out
+
+    def _align_batch_fn(self, params, kpts, valid, ref_kpts, ref_valid,
+                        phase_logits=None):
+        """Align N clips against one reference swing in one program.
+
+        kpts [N, T, V, 3], valid [N, T], ref_kpts [Tr, V, 3], ref_valid [Tr]
+        -> {"cost" [N], "path" [N, T+Tr-1, 2], "path_length" [N]}, plus
+        "error_logits" [N, E] refined with alignment-deviation features when
+        `phase_logits` [N, T, P] is given.
+
+        The reference embeds once; costs/paths vmap over the clip axis so the
+        wavefront scan processes all N DP tables per diagonal step (the batch
+        regime the soft-DTW design targets — SURVEY.md §3.4, BASELINE
+        config 4).
+        """
+        c = self.cfg
+        sa = gcn_mod.normalize_skeleton(kpts, valid)
+        sr = gcn_mod.normalize_skeleton(ref_kpts[None], ref_valid[None])
+        ea = self.align_model.apply(params["align"], sa, valid)       # [N,T,D]
+        er = self.align_model.apply(params["align"], sr, ref_valid[None])[0]
+        er_b = jnp.broadcast_to(er[None], (ea.shape[0], *er.shape))
+        D = softdtw.pairwise_sqdist(ea, er_b)                         # [N,T,Tr]
+        N = D.shape[0]
+        la = jnp.maximum(valid.sum(-1).astype(jnp.int32), 1)          # [N]
+        lb = jnp.maximum(ref_valid.sum().astype(jnp.int32), 1)
+        lb_b = jnp.broadcast_to(lb, (N,))
+        if jax.default_backend() == "tpu":
+            # The single-kernel Pallas wavefront: one sequential loop per
+            # pair, gridded over the batch.  (The vmapped lax.scan variant is
+            # mathematically identical but XLA compiles it pathologically
+            # slowly at batch on TPU — 43 s at B=4/T=64, minutes at B=64.)
+            from golfaction_tpu.ops.pallas import softdtw_kernel as sdk
+
+            cost = sdk.softdtw_cost_masked_pallas(D, la, lb_b, c.align.gamma)
+            path, length = sdk.dtw_path_pallas(D, la, lb_b)
+        else:
+            cost = jax.vmap(softdtw.softdtw_cost_masked, (0, 0, None, None))(
+                D, la, lb, c.align.gamma
+            )
+            path, length = jax.vmap(softdtw.dtw_path_masked, (0, 0, None))(
+                D, la, lb
+            )
+        out = {"cost": cost, "path": path, "path_length": length}
+        if phase_logits is not None:
+            sr0 = sr[0]
+            ref_warp = jax.vmap(softdtw.warp_by_path, (None, 0, 0, None))(
+                sr0, path, length, kpts.shape[1]
+            )
+            out["error_logits"] = self.error_model.apply(
+                params["error"], sa, phase_logits, valid, ref_warp
+            )
+        return out
+
     # ------------------------------------------------------------------
     # Host-facing API
     # ------------------------------------------------------------------
@@ -239,14 +330,18 @@ class Pipeline:
             )
         alignment = None
         if reference is not None:
-            a = self._align(
+            # Alignment + error refinement: the error head re-runs with
+            # deviation-from-aligned-reference features (SURVEY.md §1 L3).
+            a = self._align_refine(
                 self.params,
                 out["keypoints"], jnp.asarray(valid),
                 jnp.asarray(reference.keypoints), jnp.asarray(reference.valid),
+                out["phase_logits"],
             )
             alignment = types.AlignmentResult(
                 cost=a["cost"], path=a["path"], path_length=a["path_length"]
             )
+            out["error_logits"] = a["error_logits"]
         probs = jax.nn.sigmoid(out["error_logits"])
         return types.AnalysisResult(
             keypoints=out["keypoints"],
@@ -262,6 +357,7 @@ class Pipeline:
         self,
         videos: Sequence[Union[str, np.ndarray]],
         boxes: Optional[Sequence[np.ndarray]] = None,
+        reference: Optional[types.Skeleton] = None,
         error_threshold: float = 0.5,
     ) -> list[types.AnalysisResult]:
         """Analyze many clips, batched on-device (config 5).
@@ -271,6 +367,11 @@ class Pipeline:
         (clips x frame_batch)-frame MXU batches and no host round-trips
         happen between stages.  Groups are dispatched before any fetch, so
         host-side decode overlaps device compute.
+
+        If `reference` (a Skeleton, e.g. a pro swing) is given, every clip is
+        soft-DTW-aligned against it in one batched device program per group
+        (reference README.md:50-52 "Compare 2 skeleton"; BASELINE config 4 in
+        its batch regime).
 
         Failure quarantine: a clip that fails decode/preparation yields its
         Exception at that index instead of an AnalysisResult; the remaining
@@ -314,6 +415,15 @@ class Pipeline:
             out = self._core_batch(
                 self.params, jnp.asarray(fr), jnp.asarray(bx), jnp.asarray(vd)
             )
+            if reference is not None:
+                a = self._align_batch(
+                    self.params, out["keypoints"], jnp.asarray(vd),
+                    jnp.asarray(reference.keypoints),
+                    jnp.asarray(reference.valid),
+                    out["phase_logits"],
+                )
+                out["alignment"] = a
+                out["error_logits"] = a["error_logits"]
             for n, i in enumerate(idxs):
                 outs[i] = jax.tree.map(lambda x: x[n], out)
 
@@ -324,6 +434,13 @@ class Pipeline:
                 continue
             out = outs[i]
             probs = jax.nn.sigmoid(out["error_logits"])
+            alignment = None
+            if reference is not None:
+                a = out["alignment"]
+                alignment = types.AlignmentResult(
+                    cost=a["cost"], path=a["path"],
+                    path_length=a["path_length"],
+                )
             results.append(types.AnalysisResult(
                 keypoints=out["keypoints"],
                 phase_labels=out["phase_labels"],
@@ -331,6 +448,7 @@ class Pipeline:
                 error_flags=probs > error_threshold,
                 error_probs=probs,
                 valid=jnp.asarray(p[2]),
+                alignment=alignment,
             ))
         jax.block_until_ready(
             [r.keypoints for r in results if isinstance(r, types.AnalysisResult)]

@@ -254,6 +254,21 @@ def render_frames(
     return dataclasses.replace(sample, frames=frames)
 
 
+def progress_align_reference(
+    sample: SwingSample, ref: SwingSample
+) -> np.ndarray:
+    """Warp a reference swing onto a sample's timeline via true progress.
+
+    Ground-truth version of the runtime's DTW-path warp
+    (ops.softdtw.warp_by_path): for each sample frame t, the reference frame
+    with the nearest swing progress.  Returns keypoints [T, V, 3].
+    """
+    j = np.abs(
+        ref.progress[None, :] - sample.progress[:, None]
+    ).argmin(axis=1)
+    return ref.keypoints[j]
+
+
 def make_swing_batch(
     batch: int,
     num_frames: int,

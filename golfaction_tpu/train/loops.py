@@ -182,13 +182,27 @@ def build_align_batch(samples_a, samples_b):
     )
 
 
-def build_error_batch(samples):
+def build_error_batch(samples, references=None):
+    """-> (sk, phase_logits, flags, valid, ref_warp | None).
+
+    references: optional list of clean reference swings (one per sample);
+    each is warped onto its sample's timeline via ground-truth progress
+    (data.progress_align_reference — the GT version of the runtime DTW warp)
+    and normalized, training the error head's alignment-deviation features.
+    """
     sk, labels, valid = build_gcn_batch(samples)
     # Train against ground-truth phases as sharp logits (the runtime feeds
     # the GCN's soft posteriors; GT one-hot is the asymptotic version).
     phase_logits = jax.nn.one_hot(labels, cfg_mod.NUM_PHASES) * 10.0
     flags = jnp.asarray(np.stack([s.error_flags for s in samples]))
-    return sk, phase_logits, flags, valid
+    ref_warp = None
+    if references is not None:
+        warped = np.stack([
+            data_mod.progress_align_reference(s, r)
+            for s, r in zip(samples, references)
+        ])
+        ref_warp = gcn_mod.normalize_skeleton(jnp.asarray(warped), valid)
+    return sk, phase_logits, flags, valid, ref_warp
 
 
 # ---------------------------------------------------------------------------
@@ -354,8 +368,8 @@ def train_error(
     tx = make_optimizer(train_cfg)
 
     def loss_fn(params, batch):
-        sk, phase_logits, flags, valid = batch
-        logits = model.apply(params, sk, phase_logits, valid)
+        sk, phase_logits, flags, valid, ref_warp = batch
+        logits = model.apply(params, sk, phase_logits, valid, ref_warp)
         loss = losses.error_bce(logits, flags)
         pred = (jax.nn.sigmoid(logits) > 0.5).astype(jnp.float32)
         acc = (pred == flags).mean()
@@ -376,6 +390,14 @@ def train_error(
             train_cfg.batch_size, frames_per_clip,
             seed=train_cfg.seed + step, fault_prob=0.5,
         )
+        # Alternate with/without a reference so one parameter set serves
+        # both runtime modes (analyze with and without a pro swing).
+        if step % 2 == 0:
+            refs = data_mod.make_swing_batch(
+                train_cfg.batch_size, frames_per_clip,
+                seed=train_cfg.seed + 100_000 + step, fault_prob=0.0,
+            )
+            return build_error_batch(samples, refs)
         return build_error_batch(samples)
 
     return _run_training(step_fn, params, opt_state, batch_fn, train_cfg,

@@ -113,13 +113,23 @@ def main():
         model = error_mod.create_error_model(err_cfg)
         samples = data.make_swing_batch(args.eval_clips, args.frames,
                                         seed=778_000, fault_prob=0.5)
-        sk, phase_logits, flags, valid = loops.build_error_batch(samples)
+        sk, phase_logits, flags, valid, _ = loops.build_error_batch(samples)
         logits = jax.jit(lambda p, s, pl_, v: model.apply(p, s, pl_, v))(
             state.params, sk, phase_logits, valid)
         em = metrics.error_detection_metrics(jax.nn.sigmoid(logits), flags)
         em = {k: float(v) for k, v in em.items()}
-        results["error"] = {"history": hist, "eval": em, "checkpoint": ck}
+        # With a clean reference swing aligned in (the runtime compare mode).
+        refs = data.make_swing_batch(args.eval_clips, args.frames,
+                                     seed=779_000, fault_prob=0.0)
+        skr, plr, flr, vr, ref_warp = loops.build_error_batch(samples, refs)
+        logits_r = jax.jit(lambda p, s, pl_, v, rw: model.apply(p, s, pl_, v, rw))(
+            state.params, skr, plr, vr, ref_warp)
+        emr = metrics.error_detection_metrics(jax.nn.sigmoid(logits_r), flr)
+        em_ref = {k: float(v) for k, v in emr.items()}
+        results["error"] = {"history": hist, "eval": em, "eval_with_ref": em_ref,
+                            "checkpoint": ck}
         log(f"[error] eval {em}")
+        log(f"[error] eval+ref {em_ref}")
 
     # ---------------- Align ----------------
     if "align" not in args.skip:

@@ -54,6 +54,7 @@ def test_align_padding_isolation(align_model):
     np.testing.assert_allclose(np.asarray(base[:, Tv:]), 0.0, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_error_shapes_and_mask(error_model):
     m, p = error_model
     T, Tv = 10, 6
@@ -76,3 +77,34 @@ def test_error_depends_on_phases(error_model):
     a = m.apply(p, x, pl, valid)
     b = m.apply(p, x, pl[:, ::-1], valid)
     assert np.abs(np.asarray(a) - np.asarray(b)).max() > 1e-6
+
+
+def test_angle_features_scale_and_translation_invariant():
+    from golfaction_tpu.models import error as error_mod
+    rng = np.random.default_rng(0)
+    sk = rng.normal(size=(2, 5, 17, 3)).astype(np.float32)
+    a1 = error_mod.angle_features(jnp.asarray(sk))
+    sk2 = sk.copy()
+    sk2[..., :2] = sk2[..., :2] * 3.7 + np.array([11.0, -4.0])
+    a2 = error_mod.angle_features(jnp.asarray(sk2))
+    assert a1.shape == (2, 5, error_mod.NUM_ANGLE_FEATURES)
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(a2), atol=1e-4)
+
+
+def test_error_model_consumes_reference_deviations():
+    from golfaction_tpu import config as cfg_mod
+    from golfaction_tpu.models import error as error_mod
+    cfg = cfg_mod.ErrorConfig(hidden_dim=16, dtype="float32")
+    model = error_mod.create_error_model(cfg)
+    rng = np.random.default_rng(1)
+    sk = jnp.asarray(rng.normal(size=(2, 6, 17, 3)), jnp.float32)
+    pl_ = jnp.asarray(rng.normal(size=(2, 6, cfg_mod.NUM_PHASES)), jnp.float32)
+    v = jnp.ones((2, 6), bool)
+    params = model.init(jax.random.key(0), sk, pl_, v)
+    base = model.apply(params, sk, pl_, v)
+    # Same params must accept a reference and produce a different logit
+    # (has-ref flag + deviation block change the feature vector).
+    ref = sk + 0.5
+    with_ref = model.apply(params, sk, pl_, v, ref)
+    assert base.shape == with_ref.shape == (2, cfg_mod.NUM_ERRORS)
+    assert not np.allclose(np.asarray(base), np.asarray(with_ref))

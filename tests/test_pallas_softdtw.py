@@ -37,6 +37,7 @@ def test_cost_matches_oracle(ta, tb):
         )
 
 
+@pytest.mark.slow
 def test_gradient_matches_scan_implementation():
     rng = np.random.default_rng(1)
     D = _rand_D(rng, 2, 6, 9)
@@ -49,6 +50,7 @@ def test_gradient_matches_scan_implementation():
     )
 
 
+@pytest.mark.slow
 def test_path_matches_oracle_with_lengths():
     rng = np.random.default_rng(2)
     D = _rand_D(rng, 2, 10, 12)
@@ -90,3 +92,17 @@ def test_long_sequence_fallback_path():
                                rtol=1e-5)
     ref = softdtw.dtw_path_reference(np.asarray(D[0]))
     np.testing.assert_array_equal(np.asarray(path_fb[0])[: int(len_fb[0])], ref)
+
+
+def test_masked_cost_matches_trimmed_oracle():
+    # Masked batched cost (the analyze_batch alignment path on TPU).
+    rng = np.random.default_rng(7)
+    D = _rand_D(rng, 3, 10, 13)
+    la = np.array([10, 7, 4], np.int32)
+    lb = np.array([13, 9, 13], np.int32)
+    got = pk.softdtw_cost_masked_pallas(D, jnp.asarray(la), jnp.asarray(lb), 0.1)
+    for k in range(3):
+        ref, _ = softdtw.softdtw_reference(
+            np.asarray(D[k])[: la[k], : lb[k]], 0.1
+        )
+        np.testing.assert_allclose(float(got[k]), ref, rtol=1e-4, atol=1e-4)

@@ -59,6 +59,7 @@ def test_analyze_shapes_and_mask(pipe):
     assert ((np.asarray(res.error_probs) >= 0) & (np.asarray(res.error_probs) <= 1)).all()
 
 
+@pytest.mark.slow
 def test_analyze_with_reference_alignment(pipe):
     a = pipe.analyze(_swing_frames(t=10, seed=0))
     skel = pipe.extract_skeleton(a)
@@ -75,6 +76,7 @@ def test_analyze_with_reference_alignment(pipe):
     assert np.isfinite(float(b.alignment.cost))
 
 
+@pytest.mark.slow
 def test_analyze_batch_matches_single(pipe):
     clips = [_swing_frames(t=6, seed=2), _swing_frames(t=9, seed=3)]
     batch = pipe.analyze_batch(clips)
@@ -85,6 +87,29 @@ def test_analyze_batch_matches_single(pipe):
         )
         np.testing.assert_array_equal(
             np.asarray(rb.phase_labels), np.asarray(rs.phase_labels)
+        )
+
+
+@pytest.mark.slow
+def test_analyze_batch_with_reference_matches_single(pipe):
+    # Batched alignment (one device program per bucket group) must agree
+    # with the per-pair path used by analyze().
+    ref = pipe.extract_skeleton(pipe.analyze(_swing_frames(t=10, seed=0)))
+    clips = [_swing_frames(t=6, seed=2), _swing_frames(t=9, seed=3),
+             _swing_frames(t=12, seed=4)]  # two buckets: 8 and 16
+    batch = pipe.analyze_batch(clips, reference=ref)
+    for clip, rb in zip(clips, batch):
+        rs = pipe.analyze(clip, reference=ref)
+        assert rb.alignment is not None
+        np.testing.assert_allclose(
+            float(rb.alignment.cost), float(rs.alignment.cost), rtol=1e-4
+        )
+        lb_ = int(rb.alignment.path_length)
+        ls_ = int(rs.alignment.path_length)
+        assert lb_ == ls_
+        np.testing.assert_array_equal(
+            np.asarray(rb.alignment.path)[:lb_],
+            np.asarray(rs.alignment.path)[:ls_],
         )
 
 

@@ -107,3 +107,15 @@ def test_gamma_to_zero_approaches_hard_dtw():
     soft = float(softdtw.softdtw_cost(jnp.asarray(D), 0.001))
     assert abs(soft - hard) < 0.05 * abs(hard) + 0.05
     assert soft <= hard + 1e-5  # softmin is a lower bound of min
+
+
+def test_warp_by_path_averages_and_pads():
+    # ref frames 0..3 as distinct values; path aligns clip frames
+    # t=0 -> ref {0, 1}, t=1 -> ref {2}, t=2 -> ref {3}; clip padded to T=5.
+    ref = jnp.arange(4, dtype=jnp.float32)[:, None, None]  # [4, 1, 1]
+    path = jnp.asarray(
+        [[0, 0], [0, 1], [1, 2], [2, 3], [-1, -1], [-1, -1], [-1, -1],
+         [-1, -1]], jnp.int32)
+    out = softdtw.warp_by_path(ref, path, 4, 5)
+    np.testing.assert_allclose(np.asarray(out[:, 0, 0]),
+                               [0.5, 2.0, 3.0, 0.0, 0.0])

@@ -63,6 +63,35 @@ def _time_fn(fn, *args, warmup=2, iters=5, min_time=1.0):
     return dt
 
 
+def _make_e2e_videos(n_clips, hw, cache_dir):
+    """Encode n mixed-length 1080p swing mp4s (one-time, cached).
+
+    Returns (paths, true_lengths).  Lengths alternate through [40, 128] so
+    the batch exercises both length buckets and uneven grouping.
+    """
+    import cv2
+
+    from golfaction_tpu.train import data as data_mod
+
+    os.makedirs(cache_dir, exist_ok=True)
+    lengths = [40 + (i * 29) % 89 for i in range(n_clips)]  # 40..128 mixed
+    paths = []
+    for i, T in enumerate(lengths):
+        p = os.path.join(cache_dir, f"clip_{i:02d}_{T}f_{hw[0]}x{hw[1]}.mp4")
+        paths.append(p)
+        if os.path.exists(p):
+            continue
+        _log(f"  encoding e2e clip {i + 1}/{n_clips} ({T} frames) ...")
+        s = data_mod.make_swing_batch(1, T, seed=100 + i, image_hw=hw,
+                                      render=True)[0]
+        w = cv2.VideoWriter(p, cv2.VideoWriter_fourcc(*"mp4v"), 30.0,
+                            (hw[1], hw[0]))
+        for f in s.frames:
+            w.write(cv2.cvtColor(f, cv2.COLOR_RGB2BGR))
+        w.release()
+    return paths, lengths
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--clip-frames", type=int, default=64)
@@ -70,12 +99,20 @@ def main():
     parser.add_argument("--height", type=int, default=1080)
     parser.add_argument("--width", type=int, default=1920)
     parser.add_argument("--iters", type=int, default=5)
+    parser.add_argument("--e2e-clips", type=int, default=16,
+                        help="clips for the decode-included e2e measurement "
+                             "(0 disables)")
     parser.add_argument("--cpu", action="store_true", help="force CPU (debug)")
     parser.add_argument("--impl-compare", action="store_true",
                         help="also time XLA vs Pallas for each kernel stage")
     args = parser.parse_args()
 
     import jax
+
+    # Persistent compile cache: the bench compiles ~8 programs; over the
+    # tunneled TPU a cold compile service costs minutes, cached reruns don't.
+    jax.config.update("jax_compilation_cache_dir", "/tmp/golfaction_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -131,7 +168,37 @@ def main():
     dt = _time_fn(run_all, warmup=2, iters=args.iters)
     total_frames = args.clips * T
     fps = total_frames / dt
-    _log(f"[config 5] full pipeline: {fps:,.1f} fps ({dt*1e3:.1f} ms for {total_frames} frames)")
+    _log(f"[config 5] full pipeline (device program): {fps:,.1f} fps "
+         f"({dt*1e3:.1f} ms for {total_frames} frames)")
+
+    # --- honest end-to-end: mp4 on disk -> decode -> H2D -> compute -> host
+    # fetch, through analyze_batch over mixed-length clips (two buckets).
+    # This is the "video in" contract number; the device-program fps above is
+    # chip throughput.  The gap between them is host-side OpenCV 1080p decode
+    # (single-core on this box); decode scales with host cores while the chip
+    # has ~50x headroom.
+    e2e_fps = None
+    if args.e2e_clips > 0:
+        e2e_cfg = dataclasses.replace(cfg, length_buckets=(64, 128),
+                                      video_hw=hw)
+        e2e_pipe = orchestrator.Pipeline(e2e_cfg, seed=0)
+        paths, lengths = _make_e2e_videos(
+            args.e2e_clips, hw, "/tmp/golfaction_e2e_videos"
+        )
+        # Warmup compiles both bucket programs (not timed).
+        warm = e2e_pipe.analyze_batch([paths[0], paths[-1]])
+        _fence(warm[0].keypoints)
+
+        t0 = time.perf_counter()
+        results = e2e_pipe.analyze_batch(paths)
+        for r in results:
+            _fence(r.keypoints)  # materialize bytes: true completion fence
+        e2e_dt = time.perf_counter() - t0
+        n_real = sum(lengths)
+        e2e_fps = n_real / e2e_dt
+        _log(f"[config 5, e2e] mp4->decode->analyze_batch->fetch: "
+             f"{e2e_fps:,.1f} fps ({e2e_dt:.2f} s for {n_real} frames, "
+             f"{len(paths)} mixed-length clips)")
 
     # --- per-stage breakdowns (stderr only) ---
     f0, b0 = frames_dev[0], boxes_dev[0]
@@ -154,6 +221,20 @@ def main():
         warmup=1, iters=args.iters,
     )
     _log(f"[config 4] soft-DTW alignment ({T}x{T}): {align_dt*1e3:.2f} ms/pair")
+
+    # Config 4 in its design regime: B pairs per program (the wavefront is
+    # sequential in T but fully batched, so the chip's win shows at B>=64).
+    B4, T4 = 64, 128
+    reps = (T4 + kpts.shape[0] - 1) // kpts.shape[0]
+    kb = jnp.tile(kpts[None], (B4, reps, 1, 1))[:, :T4]
+    vb = jnp.ones((B4, T4), bool)
+    batch_align = jax.jit(pipe._align_batch_fn)
+    align_b_dt = _time_fn(
+        lambda: batch_align(pipe.params, kb, vb, kb[0], vb[0]),
+        warmup=1, iters=args.iters,
+    )
+    _log(f"[config 4, batch] soft-DTW B={B4} pairs {T4}x{T4}: "
+         f"{B4/align_b_dt:,.1f} pairs/s ({align_b_dt*1e3:.2f} ms/batch)")
 
     # config 1: single-image pose (CPU-runnable check happens in CI).
     crop1 = jnp.zeros((1, *cfg.pose.input_hw, 3), jnp.float32)
@@ -195,6 +276,12 @@ def main():
         "value": round(fps, 1),
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / 300.0, 3),
+        # Both throughput views (VERDICT r1 item 3): `value`/`device_fps` is
+        # the on-device pipeline program; `e2e_fps` additionally includes
+        # host mp4 decode, H2D transfer, and the result fetch.
+        "device_fps": round(fps, 1),
+        "e2e_fps": None if e2e_fps is None else round(e2e_fps, 1),
+        "e2e_vs_baseline": None if e2e_fps is None else round(e2e_fps / 300.0, 3),
     }))
 
 

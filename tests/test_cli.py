@@ -97,3 +97,13 @@ def test_cli_compare(swing_mp4, tmp_path):
     cap = cv2.VideoCapture(out_mp4)
     assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 6
     cap.release()
+
+
+@pytest.mark.slow
+def test_cli_stream_jsonl_and_latency_summary(swing_mp4, capsys):
+    out = _run(["stream", swing_mp4, *TINY_SETS,
+                "--window", "16", "--hop", "8"])
+    lines = [json.loads(l) for l in out.strip().splitlines()]
+    assert len(lines) == 12  # every decoded frame emitted exactly once
+    assert [l["frame_index"] for l in lines] == list(range(12))
+    assert all("phase" in l and "latency_ms" in l for l in lines)

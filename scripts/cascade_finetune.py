@@ -145,9 +145,23 @@ def main():
         gparams, sk, valid)
     err_model = error_mod.create_error_model(cfg.error)
 
+    # Reference-aligned deviation features (the runtime compare mode): clean
+    # reference swings warped onto each clip's timeline by true progress,
+    # with pose-matched noise — alternate batches with/without so one
+    # parameter set serves both analyze() modes (mirrors loops.train_error).
+    refs = data.make_swing_batch(8, T, seed=570_000, image_hw=tuple(args.hw),
+                                 fault_prob=0.0)
+    all_samples = list(samples) + list(aug)
+    ref_np = np.stack([
+        data.progress_align_reference(s, refs[i % len(refs)])
+        for i, s in enumerate(all_samples)
+    ])
+    ref_np[..., :2] += rng_aug.normal(0, sigma, ref_np[..., :2].shape)
+    ref_warp = gcn_mod.normalize_skeleton(jnp.asarray(ref_np), valid)
+
     def err_loss(params, batch):
-        s, pl_, f, v = batch
-        logits = err_model.apply(params, s, pl_, v)
+        s, pl_, f, v, rw = batch
+        logits = err_model.apply(params, s, pl_, v, rw)
         loss = losses.error_bce(logits, f)
         pred = (jax.nn.sigmoid(logits) > 0.5).astype(jnp.float32)
         acc = (pred == f).mean()
@@ -158,9 +172,10 @@ def main():
     eopt = tx.init(eparams)
     for i in range(args.steps * 2):
         idx = jnp.asarray(rng.choice(N, size=min(args.batch_size, N), replace=False))
+        rw = ref_warp[idx] if i % 2 == 0 else None
         eparams, eopt, aux = estep(
             eparams, eopt,
-            (sk[idx], gcn_logits[idx], flags[idx], valid[idx]))
+            (sk[idx], gcn_logits[idx], flags[idx], valid[idx], rw))
         if i % max(args.steps // 3, 1) == 0 or i == args.steps * 2 - 1:
             log(f"[error-cascade] step {i} loss {float(aux['loss']):.4f} "
                 f"acc {float(aux['acc']):.4f}")

@@ -247,3 +247,130 @@ def prepare_int8(params, cfg: PoseConfig, calib_crops):
     scales = calibrate(params, cfg, calib_crops)
     qweights = quantize_weights(params, cfg)
     return qweights, scales
+
+
+# ---------------------------------------------------------------------------
+# Fully-fused int8 forward: Pallas GN+requant epilogues between XLA convs
+# ---------------------------------------------------------------------------
+
+def _conv_raw_i8(x_i8, w_i8, stride=1):
+    return jax.lax.conv_general_dilated(
+        x_i8, w_i8, (stride, stride), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+
+
+def _deconv_raw_i8(x_i8, w_i8):
+    return jax.lax.conv_transpose(
+        x_i8, w_i8, (2, 2), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        transpose_kernel=False,
+        preferred_element_type=jnp.int32,
+    )
+
+
+def _max_pool_i8(x, window=(3, 3), strides=(2, 2)):
+    """Max pool on int8 (monotone, so pooling after quantization is exact)."""
+    return jax.lax.reduce_window(
+        x, jnp.asarray(np.iinfo(np.int8).min, jnp.int8), jax.lax.max,
+        (1, *window, 1), (1, *strides, 1), "SAME",
+    )
+
+
+def pose_forward_int8_fused(params, qweights, scales, cfg: PoseConfig, x,
+                            interpret=None):
+    """int8 forward with fused Pallas epilogues (ops/pallas/requant_kernel).
+
+    Semantically identical to pose_forward_int8 (same quantization points,
+    GN in f32), but every tensor between convs lives in HBM as int8: the
+    dequant/GN/residual/relu/requant chain is one kernel pass per site
+    instead of 4-5 XLA elementwise passes.  x [B, H, W, 3] float.
+    """
+    from golfaction_tpu.ops.pallas import requant_kernel as rk
+
+    p = params["params"]
+
+    def gn_params(name):
+        return p[name]["scale"], p[name]["bias"]
+
+    def wq(entry):
+        return entry  # (w_i8, s_w[O])
+
+    layers = _layers(cfg)
+    res_names = [l["name"] for l in layers if l["kind"] == "resblock"]
+    deconvs = [l for l in layers if l["kind"] == "deconv"]
+
+    def next_scale_after_block(bi):
+        if bi + 1 < len(res_names):
+            return scales[f"{res_names[bi + 1]}/Conv_0"]
+        return scales[deconvs[0]["name"]]
+
+    # Stem: quantize input once, conv, fused GN+relu+requant, int8 maxpool.
+    x_i8 = _q8(x.astype(jnp.float32), scales["Conv_0"])
+    w0, sw0 = wq(qweights["Conv_0"])
+    y = _conv_raw_i8(x_i8, w0, stride=2)
+    g0, b0 = gn_params("GroupNorm_0")
+    y = rk.requant_epilogue_pallas(
+        y, scales["Conv_0"] * sw0, g0, b0, groups=min(32, 64),
+        relu=True, out_scale=float(scales[f"{res_names[0]}/Conv_0"]),
+        interpret=interpret,
+    )
+    h = _max_pool_i8(y)                       # int8, scale s(ResBlock_0/Conv_0)
+
+    for bi, layer in enumerate(l for l in layers if l["kind"] == "resblock"):
+        name, ch, stride = layer["name"], layer["ch"], layer["stride"]
+        bp, qb = p[name], qweights[name]
+        s_in = scales[f"{name}/Conv_0"]
+        s_mid = scales[f"{name}/Conv_1"]
+        s_out = float(next_scale_after_block(bi))
+        gn0 = bp["GroupNorm_0"]
+        gn1 = bp["GroupNorm_1"]
+        w_0, sw_0 = qb["Conv_0"]
+        w_1, sw_1 = qb["Conv_1"]
+
+        y1 = _conv_raw_i8(h, w_0, stride)
+        y1 = rk.requant_epilogue_pallas(
+            y1, s_in * sw_0, gn0["scale"], gn0["bias"], groups=min(32, ch),
+            relu=True, out_scale=float(s_mid), interpret=interpret,
+        )
+        y2 = _conv_raw_i8(y1, w_1)
+        if "Conv_2" in qb:
+            w_2, sw_2 = qb["Conv_2"]
+            gn2 = bp["GroupNorm_2"]
+            r = _conv_raw_i8(h, w_2, stride)
+            h = rk.requant_epilogue_pallas(
+                y2, s_mid * sw_1, gn1["scale"], gn1["bias"],
+                groups=min(32, ch),
+                residual=r, res_scale=s_in * sw_2,
+                res_gamma=gn2["scale"], res_beta=gn2["bias"],
+                relu=True, out_scale=s_out, interpret=interpret,
+            )
+        else:
+            # Identity shortcut: h is int8 at scale s_in... but the flax
+            # reference adds the POST-GN residual (the block input after the
+            # previous block's relu), which is exactly h dequantized.
+            h = rk.requant_epilogue_pallas(
+                y2, s_mid * sw_1, gn1["scale"], gn1["bias"],
+                groups=min(32, ch),
+                residual=h, res_scale=float(s_in),
+                relu=True, out_scale=s_out, interpret=interpret,
+            )
+
+    for d, layer in enumerate(deconvs):
+        name, ch = layer["name"], layer["ch"]
+        w_d, sw_d = qweights[name]
+        gnd = p[layer["gn"]]
+        s_in = scales[name]
+        last = d == len(deconvs) - 1
+        y = _deconv_raw_i8(h, w_d)
+        h = rk.requant_epilogue_pallas(
+            y, s_in * sw_d, gnd["scale"], gnd["bias"], groups=min(32, ch),
+            relu=True,
+            out_scale=None if last else float(scales[deconvs[d + 1]["name"]]),
+            interpret=interpret,
+        )
+
+    x = nn.Conv(cfg.num_joints, (1, 1)).apply({"params": p["Conv_1"]},
+                                              h.astype(jnp.bfloat16))
+    return jnp.transpose(x, (0, 3, 1, 2)).astype(jnp.float32)

@@ -74,3 +74,21 @@ def test_calibration_scales_cover_all_conv_layers(setup):
             need.add(name)
     assert need <= set(scales), sorted(need - set(scales))
     assert all(s > 0 for s in scales.values())
+
+
+def test_int8_fused_matches_unfused(setup):
+    # The fused-epilogue forward is the same quantized graph as
+    # pose_forward_int8 (identical quant points); differences are only
+    # epilogue precision (f32 vs bf16 GN) and the re-quantized identity
+    # shortcut, so outputs must agree tightly.
+    model, params, x = setup
+    calib = jax.random.normal(jax.random.key(2), (8, *TINY.input_hw, 3))
+    qw, scales = pose_quant.prepare_int8(params, TINY, calib)
+    a = np.asarray(pose_quant.pose_forward_int8(params, qw, scales, TINY, x))
+    b = np.asarray(pose_quant.pose_forward_int8_fused(
+        params, qw, scales, TINY, x, interpret=True))
+    scale = np.abs(a).max()
+    err = np.abs(a - b).max() / max(scale, 1e-6)
+    # Same tolerance as int8-vs-float: the fused path re-quantizes the
+    # identity shortcut (the unfused one keeps it bf16), worth ~1 LSB.
+    assert err < 0.12, f"fused-vs-unfused relative error {err}"

@@ -52,6 +52,8 @@ def _tail_kernel(
     la_ref,            # SMEM scalar prefetch: [1] valid frame count
     x_ref,             # [1, TVp, C] post-spatial-conv features
     w_ref,             # [1, PW, maxc] packed branch/attention weights
+    pt_ref,            # [T, TVp] static frame-average pool matrix (1/V)
+    pv_ref,            # [V, TVp] static joint-sum pool matrix (ones)
     out_ref,           # [1, TVp, C]
     *,
     T: int, V: int, C: int, TVp: int,
@@ -153,21 +155,19 @@ def _tail_kernel(
     z = z * gate_c                                                # [TVp, C]
 
     # ---- ST-Joint attention ----
+    # Pool matrices come in as static inputs (building them in-kernel from
+    # iota/compare chains made Mosaic compiles take minutes).  zm's rows are
+    # already zero beyond la, so the joint pool uses a static ones matrix
+    # with a scalar 1/la correction instead of an la-dependent one-hot.
     zm = mask(z)
-    cols_T = jax.lax.broadcasted_iota(jnp.int32, (T, TVp), 1)
-    rows_T = jax.lax.broadcasted_iota(jnp.int32, (T, TVp), 0)
-    Pt = jnp.where(cols_T // V == rows_T, 1.0 / V, 0.0)           # [T, TVp]
+    Pt = pt_ref[:]                                                # [T, TVp]
     t_pool = jax.lax.dot_general(Pt, zm,
                                  dimension_numbers=(((1,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)  # [T, C]
-    cols_V = jax.lax.broadcasted_iota(jnp.int32, (V, TVp), 1)
-    rows_V = jax.lax.broadcasted_iota(jnp.int32, (V, TVp), 0)
-    t_of = cols_V // V
-    Pv = jnp.where((cols_V % V == rows_V) & (t_of < la) & (cols_V < T * V),
-                   1.0, 0.0) / jnp.maximum(la.astype(jnp.float32), 1.0)
-    v_pool = jax.lax.dot_general(Pv, zm,
+    v_pool = jax.lax.dot_general(pv_ref[:], zm,
                                  dimension_numbers=(((1,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32)  # [V, C]
+                                 preferred_element_type=jnp.float32
+                                 ) / jnp.maximum(la.astype(jnp.float32), 1.0)
 
     def fused_emb(p):
         e = jax.lax.dot_general(p, P("stja_wf", C, stja_mid),
@@ -189,18 +189,13 @@ def _tail_kernel(
                             preferred_element_type=jnp.float32)
         + vec("stja_bv", C))                     # [V, C]
 
-    # Broadcast gates back to rows with one-hot matmuls.
-    Bt = jnp.where(
-        jax.lax.broadcasted_iota(jnp.int32, (TVp, T), 0) // V
-        == jax.lax.broadcasted_iota(jnp.int32, (TVp, T), 1), 1.0, 0.0)
-    Bv = jnp.where(
-        jax.lax.broadcasted_iota(jnp.int32, (TVp, V), 0) % V
-        == jax.lax.broadcasted_iota(jnp.int32, (TVp, V), 1), 1.0, 0.0)
-    Gt = jax.lax.dot_general(Bt, t_gate,
-                             dimension_numbers=(((1,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)
-    Gv = jax.lax.dot_general(Bv, v_gate,
-                             dimension_numbers=(((1,), (0,)), ((), ())),
+    # Broadcast gates back to rows by contracting the SAME pool matrices on
+    # their other axis: Bt == (V * Pt)^T and Bv == pv^T exactly.
+    Gt = jax.lax.dot_general(Pt, t_gate,
+                             dimension_numbers=(((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32) * float(V)
+    Gv = jax.lax.dot_general(pv_ref[:], v_gate,
+                             dimension_numbers=(((0,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32)
     out_ref[0] = (z * Gt * Gv).astype(out_ref.dtype)
 
@@ -295,6 +290,16 @@ def gcn_block_tail_pallas(
     PW = packed_w.shape[0]
     maxc = packed_w.shape[1]
 
+    # Static pool matrices (see _tail_kernel comment): frame-average and
+    # joint-sum over the [TVp] row layout, reused transposed for the
+    # gate broadcast-back.
+    r_idx = np.arange(TVp)
+    Pt = np.zeros((T, TVp), np.float32)
+    in_range = r_idx < TV
+    Pt[(r_idx // V)[in_range], r_idx[in_range]] = 1.0 / V
+    Pv = np.zeros((V, TVp), np.float32)
+    Pv[(r_idx % V)[in_range], r_idx[in_range]] = 1.0
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B,),
@@ -302,6 +307,10 @@ def gcn_block_tail_pallas(
             pl.BlockSpec((1, TVp, C), lambda b, *_: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((PW, maxc), lambda b, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, TVp), lambda b, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((V, TVp), lambda b, *_: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, TVp, C), lambda b, *_: (b, 0, 0),
@@ -317,7 +326,7 @@ def gcn_block_tail_pallas(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, TVp, C), x.dtype),
         interpret=bool(interpret),
-    )(la.astype(jnp.int32), rows, packed_w)
+    )(la.astype(jnp.int32), rows, packed_w, jnp.asarray(Pt), jnp.asarray(Pv))
     return out[:, :TV].reshape(B, T, V, C)
 
 

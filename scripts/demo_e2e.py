@@ -31,6 +31,9 @@ def main():
     ap.add_argument("--clips", type=int, default=8)
     ap.add_argument("--frames", type=int, default=48)
     ap.add_argument("--hw", type=int, nargs=2, default=(540, 960))
+    ap.add_argument("--jitter-clips", type=int, default=6,
+                    help="extra camera-shake clips scoring motion-energy "
+                         "boxes vs keypoint-refined boxes (0 disables)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -115,6 +118,43 @@ def main():
         "align_progress_err_mean": float(np.mean(prog_errs)),
         "comparison_video": video_path,
     }
+
+    # ---- moving-camera eval: motion-energy vs keypoint-refined boxes ----
+    # Proves the box_refine_stride path (keypoint-seeded tracking): with
+    # camera shake, frame-differencing boxes degrade while the coarse-pose-
+    # seeded refinement should hold PCK near the static-camera number.
+    if args.jitter_clips > 0:
+        import dataclasses as _dc
+
+        jit_samples = data.make_swing_batch(
+            args.jitter_clips, args.frames, seed=992_000, image_hw=hw,
+            render=True, fault_prob=0.0, camera_jitter=0.03)
+
+        def _pck_through(p, samples_):
+            vals = []
+            for s in samples_:
+                res = p.analyze(s.frames)
+                kp = np.asarray(res.keypoints)[: args.frames]
+                bbox = np.maximum(s.boxes[:, 2], s.boxes[:, 3])
+                vals.append(float(metrics.pck(
+                    jnp.asarray(kp), jnp.asarray(s.keypoints),
+                    jnp.asarray(bbox), alpha=0.05)))
+            return float(np.mean(vals))
+
+        pck_motion = _pck_through(pipe, jit_samples)
+        pipe_r = orchestrator.Pipeline(
+            _dc.replace(cfg, box_refine_stride=4), seed=0)
+        pipe_r.params = pipe.params
+        pck_refined = _pck_through(pipe_r, jit_samples)
+        summary["jitter_eval"] = {
+            "clips": args.jitter_clips,
+            "camera_jitter": 0.03,
+            "pck05_motion_boxes": pck_motion,
+            "pck05_refined_boxes": pck_refined,
+            "pck05_static_baseline": float(np.mean(pcks)),
+        }
+        log(f"[jitter] PCK motion-boxes {pck_motion:.4f} vs refined "
+            f"{pck_refined:.4f} (static baseline {np.mean(pcks):.4f})")
     with open(os.path.join(args.out, "e2e_metrics.json"), "w") as f:
         json.dump(summary, f, indent=2)
     print(json.dumps(summary, indent=2))

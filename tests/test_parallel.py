@@ -147,3 +147,43 @@ def test_pipeline_analyze_batch_over_mesh():
                                    np.asarray(a.keypoints), atol=1e-4)
         np.testing.assert_array_equal(np.asarray(b.phase_labels),
                                       np.asarray(a.phase_labels))
+
+
+@pytest.mark.slow
+def test_align_batch_sharded_matches_unsharded():
+    # Batched alignment (analyze_batch reference mode) under a DP mesh must
+    # equal the meshless program: clips shard over `data`, reference
+    # replicates, soft-DTW costs/paths identical.
+    from golfaction_tpu.pipeline import orchestrator
+
+    cfg = cfg_mod.PipelineConfig(
+        pose=cfg_mod.PoseConfig(input_hw=(64, 48), heatmap_hw=(16, 12),
+                                stage_blocks=(1,), stage_channels=(8,),
+                                deconv_channels=(8,), dtype="float32"),
+        gcn=GCN_CFG,
+        align=cfg_mod.AlignConfig(embed_dim=8, hidden_channels=(8,),
+                                  dtype="float32"),
+        error=cfg_mod.ErrorConfig(hidden_dim=16, dtype="float32"),
+        frame_batch=4, length_buckets=(16,), video_hw=(96, 128),
+    )
+    mesh = mesh_mod.make_mesh(cfg_mod.MeshConfig())
+    pipe_m = orchestrator.Pipeline(cfg, seed=0, mesh=mesh)
+    pipe_s = orchestrator.Pipeline(cfg, seed=0)
+
+    rng = np.random.default_rng(0)
+    N, T = 8, 16
+    kpts = jnp.asarray(rng.uniform(10, 80, (N, T, 17, 3)), jnp.float32)
+    valid = jnp.asarray(rng.uniform(size=(N, T)) > 0.2)
+    valid = valid.at[:, 0].set(True)
+    ref_k = jnp.asarray(rng.uniform(10, 80, (T, 17, 3)), jnp.float32)
+    ref_v = jnp.ones((T,), bool)
+    pl_ = jnp.asarray(rng.normal(size=(N, T, cfg_mod.NUM_PHASES)), jnp.float32)
+
+    a = pipe_m._align_batch(pipe_m.params, kpts, valid, ref_k, ref_v, pl_)
+    b = pipe_s._align_batch(pipe_s.params, kpts, valid, ref_k, ref_v, pl_)
+    np.testing.assert_allclose(np.asarray(a["cost"]), np.asarray(b["cost"]),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(a["path"]), np.asarray(b["path"]))
+    np.testing.assert_allclose(np.asarray(a["error_logits"]),
+                               np.asarray(b["error_logits"]),
+                               rtol=1e-4, atol=1e-4)

@@ -76,6 +76,8 @@ def main():
 
     f_float = jax.jit(lambda p, x: model.apply(p, x))
     f_int8 = jax.jit(lambda p, x: pose_quant.pose_forward_int8(p, qw, scales, cfg, x))
+    f_fused = jax.jit(lambda p, x: pose_quant.pose_forward_int8_fused(
+        p, qw, scales, cfg, x))
 
     def pck_of(hm):
         kpts = heatmap.decode_heatmaps(hm, "udp")
@@ -85,8 +87,9 @@ def main():
 
     hm_f = f_float(params, eval_crops)
     hm_q = f_int8(params, eval_crops)
-    pck_f, pck_q = pck_of(hm_f), pck_of(hm_q)
-    log(f"PCK@0.05 float={pck_f:.4f} int8={pck_q:.4f}")
+    hm_u = f_fused(params, eval_crops)
+    pck_f, pck_q, pck_u = pck_of(hm_f), pck_of(hm_q), pck_of(hm_u)
+    log(f"PCK@0.05 float={pck_f:.4f} int8={pck_q:.4f} int8-fused={pck_u:.4f}")
 
     def fence(o):
         return float(jnp.sum(o))
@@ -102,14 +105,16 @@ def main():
 
     ms_f = t(lambda: f_float(params, eval_crops))
     ms_q = t(lambda: f_int8(params, eval_crops))
+    ms_u = t(lambda: f_fused(params, eval_crops))
     n_crops = eval_crops.shape[0]
     log(f"forward {n_crops} crops: float {ms_f:.2f} ms | int8 {ms_q:.2f} ms "
-        f"({ms_f / ms_q:.2f}x)")
+        f"({ms_f / ms_q:.2f}x) | int8-fused {ms_u:.2f} ms ({ms_f / ms_u:.2f}x)")
 
     print(json.dumps({
-        "pck_float": pck_f, "pck_int8": pck_q,
-        "ms_float": ms_f, "ms_int8": ms_q,
-        "speedup": ms_f / ms_q, "crops": int(n_crops),
+        "pck_float": pck_f, "pck_int8": pck_q, "pck_int8_fused": pck_u,
+        "ms_float": ms_f, "ms_int8": ms_q, "ms_int8_fused": ms_u,
+        "speedup": ms_f / ms_q, "speedup_fused": ms_f / ms_u,
+        "crops": int(n_crops),
     }))
 
 

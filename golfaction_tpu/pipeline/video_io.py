@@ -60,24 +60,72 @@ def iter_clip_batches(
         yield frames[i : i + batch]
 
 
+def estimate_camera_shifts(
+    frames: np.ndarray, downsample: int = 4, tiles: int = 3
+) -> np.ndarray:
+    """Per-frame global camera translation [T, 2] (dx, dy) vs frame 0.
+
+    Robust host-side stabilization for motion-energy boxes on a shaking
+    camera: consecutive downsampled grayscale frames are split into a
+    tiles x tiles grid, each tile's translation is estimated by phase
+    correlation, and the MEDIAN over tiles is taken — the moving golfer
+    only occupies a few tiles, so their motion cannot bias the global
+    estimate (a single whole-frame correlation provably does get dragged
+    toward the dominant bright mover).  Near-zero for a tripod clip.
+    """
+    if not _HAS_CV2:
+        return np.zeros((len(frames), 2), np.float32)
+    # Keep >= ~32 px per tile in the short dimension: tiny tiles make the
+    # correlation peak meaningless.
+    downsample = max(1, min(downsample, min(frames.shape[1:3]) // (32 * tiles)))
+    g = frames[:, ::downsample, ::downsample].mean(axis=-1).astype(np.float32)
+    T, H, W = g.shape
+    th, tw = H // tiles, W // tiles
+    if th < 8 or tw < 8:
+        tiles, th, tw = 1, H, W
+    win = cv2.createHanningWindow((tw, th), cv2.CV_32F)
+    shifts = np.zeros((T, 2), np.float32)
+    for t in range(1, T):
+        est = []
+        for i in range(tiles):
+            for j in range(tiles):
+                a = g[t - 1, i * th:(i + 1) * th, j * tw:(j + 1) * tw]
+                b = g[t, i * th:(i + 1) * th, j * tw:(j + 1) * tw]
+                (dx, dy), _resp = cv2.phaseCorrelate(a, b, win)
+                est.append((dx, dy))
+        shifts[t] = shifts[t - 1] + np.median(np.asarray(est), axis=0)
+    return shifts * downsample
+
+
 def estimate_person_boxes(
     frames: np.ndarray,
     smooth: int = 9,
     min_size: float = 0.15,
     use_native: bool = True,
+    stabilize: bool = True,
 ) -> np.ndarray:
-    """Motion-energy person boxes for a static-camera swing clip.
+    """Motion-energy person boxes for a (near-)static-camera swing clip.
 
     Frame differencing against the clip median localizes the moving golfer;
     per-frame boxes are median-smoothed over time and unioned with a minimum
     size (fraction of frame) so a momentarily-still golfer isn't lost.
 
-    Dispatches to the multithreaded C++ implementation
-    (golfaction_tpu.native) when available; this NumPy body is the oracle.
+    With `stabilize` (default), global camera translation is estimated by
+    phase correlation first; if the clip shakes, differencing runs on
+    shift-compensated frames and boxes are mapped back — without this a
+    moving camera turns the whole frame into "motion" and the boxes are
+    garbage.  Static clips skip the compensation (shifts ≈ 0) and keep the
+    multithreaded C++ fast path (golfaction_tpu.native); this NumPy body is
+    the oracle.
 
     Returns boxes [T, 4] float32 (cx, cy, w, h) in pixels.
     """
-    if use_native:
+    shifts = None
+    if stabilize:
+        shifts = estimate_camera_shifts(frames)
+        if np.abs(shifts).max() < 1.5:
+            shifts = None  # static camera: no compensation needed
+    if use_native and shifts is None:
         from golfaction_tpu import native
 
         out = native.motion_boxes(frames, min_size=min_size, smooth=smooth)
@@ -85,6 +133,14 @@ def estimate_person_boxes(
             return out
     T, H, W, _ = frames.shape
     gray = frames.mean(axis=-1).astype(np.float32)
+    if shifts is not None:
+        # Shift-compensate into frame-0 coordinates (integer roll is enough
+        # for box purposes; vacated edges fall out of the percentile bounds).
+        comp = np.empty_like(gray)
+        for t in range(T):
+            dx, dy = int(round(shifts[t, 0])), int(round(shifts[t, 1]))
+            comp[t] = np.roll(gray[t], (-dy, -dx), axis=(0, 1))
+        gray = comp
     background = np.median(gray, axis=0)
     energy = np.abs(gray - background)              # [T, H, W]
     thresh = np.maximum(12.0, energy.mean() + energy.std())
@@ -113,6 +169,10 @@ def estimate_person_boxes(
             [np.median(padded[i : i + k], axis=0) for i in range(T)]
         )
         boxes = sm.astype(np.float32)
+    if shifts is not None:
+        # Map centers back from stabilized (frame-0) coords to each frame.
+        boxes[:, 0] += shifts[:, 0]
+        boxes[:, 1] += shifts[:, 1]
     return boxes
 
 

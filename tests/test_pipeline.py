@@ -167,3 +167,49 @@ def test_box_refine_stride_runs_and_matches_shapes():
     assert res.keypoints.shape == (16, 17, 3)
     k = np.asarray(res.keypoints)[np.asarray(res.valid)]
     assert np.isfinite(k).all()
+
+
+def test_camera_shift_estimation_recovers_translation():
+    # Translate a textured scene by a known per-frame offset; the estimator
+    # must recover it (that's the stabilization that keeps motion boxes
+    # alive on a shaking camera).
+    rng = np.random.default_rng(0)
+    base = (rng.uniform(0, 255, (160, 200)) ).astype(np.float32)
+    import cv2
+    base = cv2.GaussianBlur(base, (9, 9), 0)  # correlatable texture
+    offs = np.array([[0, 0], [4, -2], [8, 2], [12, 6]])
+    frames = np.stack([
+        np.roll(base, (int(dy), int(dx)), axis=(0, 1)) for dx, dy in offs
+    ])[..., None].repeat(3, -1).astype(np.uint8)
+    est = video_io.estimate_camera_shifts(frames, downsample=1)
+    np.testing.assert_allclose(est, offs, atol=1.0)
+
+
+def test_stabilized_boxes_on_shaking_camera():
+    # A moving blob under global camera shake: stabilized motion boxes must
+    # track the blob far better than unstabilized differencing.
+    rng = np.random.default_rng(1)
+    t, h, w = 12, 120, 160
+    # High-contrast textured background: unstabilized differencing floods.
+    base = rng.integers(0, 200, (h // 8, w // 8, 3)).astype(np.uint8)
+    import cv2
+    base = cv2.resize(base, (w, h), interpolation=cv2.INTER_NEAREST)
+    base = cv2.GaussianBlur(base, (3, 3), 0)
+    shake = np.cumsum(rng.integers(-8, 9, (t, 2)), axis=0)
+    frames = np.zeros((t, h, w, 3), np.uint8)
+    centers = []
+    for i in range(t):
+        f = np.roll(base, (shake[i, 1], shake[i, 0]), axis=(0, 1)).copy()
+        cx, cy = 40 + 5 * i + shake[i, 0], 60 + shake[i, 1]
+        f[max(cy - 12, 0): cy + 12, max(cx - 8, 0): cx + 8] = 230
+        frames[i] = f
+        centers.append([cx, cy])
+    centers = np.asarray(centers, np.float32)
+    b_stab = video_io.estimate_person_boxes(frames, smooth=3, stabilize=True,
+                                            use_native=False)
+    b_raw = video_io.estimate_person_boxes(frames, smooth=3, stabilize=False,
+                                           use_native=False)
+    err_stab = np.linalg.norm(b_stab[:, :2] - centers, axis=1).mean()
+    err_raw = np.linalg.norm(b_raw[:, :2] - centers, axis=1).mean()
+    assert err_stab < err_raw * 0.7, (err_stab, err_raw)
+    assert err_stab < 15.0, err_stab

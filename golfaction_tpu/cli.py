@@ -42,6 +42,10 @@ def cmd_analyze(args):
         else:
             pipe.params = checkpoint.restore_params(args.checkpoint, like=pipe.params)
         _log(f"restored params from {args.checkpoint}")
+        thr = checkpoint.load_error_thresholds(args.checkpoint)
+        if thr is not None:
+            args.threshold = thr
+            _log("using calibrated per-fault error thresholds")
 
     reference = None
     if args.reference:
@@ -50,7 +54,8 @@ def cmd_analyze(args):
         reference = pipe.extract_skeleton(ref_res)
 
     _log(f"analyzing {args.video} ...")
-    res = pipe.analyze(args.video, reference=reference)
+    res = pipe.analyze(args.video, reference=reference,
+                       error_threshold=getattr(args, "threshold", 0.5))
     valid = np.asarray(res.valid)
     T = int(valid.sum())
     out = {

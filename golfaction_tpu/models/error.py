@@ -44,6 +44,27 @@ _ANGLE_TRIPLETS = (
 NUM_ANGLE_FEATURES = 2 * len(_ANGLE_TRIPLETS) + 3  # cos/sin + spine + head
 
 
+def _smooth_time(x: jnp.ndarray, valid=None) -> jnp.ndarray:
+    """Binomial [1,2,1]/4 filter along axis 1 (edge-replicated).
+
+    With `valid` [B, T], the filter is mask-normalized so padded frames
+    never leak into valid ones (bucket-padding isolation); invalid frames
+    pass through untouched (they are masked downstream anyway).
+    """
+
+    def conv(z):
+        pad = jnp.concatenate([z[:, :1], z, z[:, -1:]], axis=1)
+        return 0.25 * pad[:, :-2] + 0.5 * pad[:, 1:-1] + 0.25 * pad[:, 2:]
+
+    if valid is None:
+        return conv(x)
+    m = valid.astype(jnp.float32).reshape(*valid.shape,
+                                          *([1] * (x.ndim - 2)))
+    num = conv(x * m)
+    den = conv(m)
+    return jnp.where(m > 0, num / jnp.maximum(den, 1e-6), x)
+
+
 def angle_features(sk: jnp.ndarray) -> jnp.ndarray:
     """Skeletons [B, T, V, C>=2] -> angle features [B, T, NUM_ANGLE_FEATURES].
 
@@ -92,7 +113,16 @@ class ErrorClassifier(nn.Module):
         dt = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
         B, T, V, C = skeletons.shape
 
-        x = skeletons.astype(jnp.float32).reshape(B, T, V * C)
+        # Temporal 1-2-1 smoothing before feature extraction: runtime
+        # skeletons carry frame-to-frame pose jitter that the angle /
+        # angular-velocity features would otherwise amplify into the
+        # dominant signal (measured round 2: an error head trained on
+        # unsmoothed features collapsed on predicted keypoints).
+        skeletons = _smooth_time(skeletons.astype(jnp.float32), valid)
+        if ref_aligned is not None:
+            ref_aligned = _smooth_time(ref_aligned.astype(jnp.float32), valid)
+
+        x = skeletons.reshape(B, T, V * C)
         vel = jnp.diff(x, axis=1, prepend=x[:, :1])
         ang = angle_features(skeletons)
         angvel = jnp.diff(ang, axis=1, prepend=ang[:, :1])

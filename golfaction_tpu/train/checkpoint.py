@@ -66,3 +66,22 @@ def latest_step_dir(root: str) -> Optional[str]:
         return None
     steps = sorted(d for d in os.listdir(root) if d.startswith("step_"))
     return os.path.join(root, steps[-1]) if steps else None
+
+
+def load_error_thresholds(root: str):
+    """Per-fault decision thresholds written by scripts/cascade_finetune.py.
+
+    Returns a float32 [NUM_ERRORS] array ordered like config.SWING_ERRORS,
+    or None if no calibration file exists (callers fall back to 0.5).
+    """
+    import json
+
+    from golfaction_tpu import config as cfg_mod
+
+    path = os.path.join(root, "error_thresholds.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        d = json.load(f)
+    return np.asarray([float(d.get(name, 0.5))
+                       for name in cfg_mod.SWING_ERRORS], np.float32)

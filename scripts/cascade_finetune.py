@@ -34,6 +34,8 @@ def main():
     ap.add_argument("--clips", type=int, default=48)
     ap.add_argument("--aug", type=int, default=256,
                     help="extra noise-matched synthetic (unrendered) clips")
+    ap.add_argument("--calib-clips", type=int, default=16,
+                    help="held-out rendered clips for threshold calibration")
     ap.add_argument("--frames", type=int, default=48)
     ap.add_argument("--steps", type=int, default=200)
     ap.add_argument("--batch-size", type=int, default=16)
@@ -85,19 +87,32 @@ def main():
     flags = np.stack(flags)
 
     # Noise-matched synthetic augmentation: measure the pose stage's actual
-    # per-joint residual spread on the rendered set, then generate many more
-    # clips as GT keypoints + matched gaussian noise (no rendering needed) —
-    # same distribution as runtime inputs at a fraction of the cost.
+    # per-joint residual spread AND temporal autocorrelation on the rendered
+    # set, then generate many more clips as GT keypoints + AR(1) noise.
+    # Matching the correlation matters as much as the scale: pose residuals
+    # are temporally smooth, and the error head's angular-velocity features
+    # blow iid noise up into the dominant signal (a head cascaded on iid
+    # noise collapsed on real predicted keypoints — round-2 lesson).
     gt = np.stack([s.keypoints for s in samples])
     resid = pred_kpts[..., :2] - gt[..., :2]
     sigma = float(np.median(np.abs(resid))) * 1.4826   # robust std estimate
-    log(f"pose residual sigma ≈ {sigma:.2f} px; generating {args.aug} "
-        "noise-matched synthetic clips")
+    r0 = resid - resid.mean(axis=1, keepdims=True)
+    rho = float(np.clip(
+        (r0[:, 1:] * r0[:, :-1]).sum() / max((r0 ** 2).sum(), 1e-9), 0.0, 0.99
+    ))
+    log(f"pose residual sigma ≈ {sigma:.2f} px, lag-1 rho ≈ {rho:.2f}; "
+        f"generating {args.aug} noise-matched synthetic clips")
     rng_aug = np.random.default_rng(123)
     aug = data.make_swing_batch(args.aug, T, seed=560_000,
                                 image_hw=tuple(args.hw), fault_prob=0.5)
     aug_k = np.stack([s.keypoints for s in aug])   # already image-space
-    aug_k[..., :2] += rng_aug.normal(0, sigma, aug_k[..., :2].shape)
+    noise = np.empty((len(aug), T, *aug_k.shape[2:3], 2), np.float32)
+    noise[:, 0] = rng_aug.normal(0, sigma, noise[:, 0].shape)
+    innov = np.sqrt(1 - rho ** 2) * sigma
+    for tt in range(1, T):
+        noise[:, tt] = rho * noise[:, tt - 1] + rng_aug.normal(
+            0, innov, noise[:, 0].shape)
+    aug_k[..., :2] += noise
     pred_kpts = np.concatenate([pred_kpts, aug_k])
     labels = np.concatenate([labels, np.stack([s.phase_labels for s in aug])])
     flags = np.concatenate([flags, np.stack([s.error_flags for s in aug])])
@@ -182,8 +197,49 @@ def main():
     err_ck = checkpoint.save_params(f"{args.artifacts}/params/error", eparams,
                                     step=_next_step("error"))
 
+    # ---- 4. Per-fault decision thresholds, calibrated on held-out clips
+    # through the REAL pipeline (both analyze modes, with/without a
+    # reference swing), maximizing per-fault F1 on the validation probs.
+    log(f"calibrating per-fault thresholds on {args.calib_clips} held-out "
+        "clips ...")
+    pipe.params = dict(pipe.params, gcn=gparams, error=eparams)
+    cal = data.make_swing_batch(args.calib_clips, T, seed=580_000,
+                                image_hw=tuple(args.hw), render=True,
+                                fault_prob=0.5)
+    ref_cal = data.make_swing_batch(1, T, seed=581_000,
+                                    image_hw=tuple(args.hw), render=True,
+                                    fault_prob=0.0)[0]
+    ref_skel = pipe.extract_skeleton(pipe.analyze(ref_cal.frames))
+    probs, truth = [], []
+    for s in cal:
+        a = pipe.analyze(s.frames)
+        b = pipe.analyze(s.frames, reference=ref_skel)
+        probs += [np.asarray(a.error_probs), np.asarray(b.error_probs)]
+        truth += [s.error_flags, s.error_flags]
+    probs = np.stack(probs)
+    truth = np.stack(truth)
+    grid = np.linspace(0.05, 0.95, 19)
+    thresholds = {}
+    for e, fault in enumerate(cfg_mod.SWING_ERRORS):
+        best_thr, best_f1 = 0.5, -1.0
+        for thr in grid:
+            p = probs[:, e] > thr
+            tp = float((p & (truth[:, e] > 0)).sum())
+            fp = float((p & (truth[:, e] == 0)).sum())
+            fn = float((~p & (truth[:, e] > 0)).sum())
+            f1 = 2 * tp / max(2 * tp + fp + fn, 1e-9)
+            if f1 > best_f1 + 1e-9 or (
+                abs(f1 - best_f1) <= 1e-9 and abs(thr - 0.5) < abs(best_thr - 0.5)
+            ):
+                best_thr, best_f1 = float(thr), f1
+        thresholds[fault] = best_thr
+        log(f"   {fault:16s} thr={best_thr:.2f} calib-F1={best_f1:.2f}")
+    thr_path = os.path.join(args.artifacts, "error_thresholds.json")
+    with open(thr_path, "w") as f:
+        json.dump(thresholds, f, indent=2)
+
     print(json.dumps({"gcn_checkpoint": gcn_ck, "error_checkpoint": err_ck,
-                      "clips": int(N)}))
+                      "clips": int(N), "thresholds": thr_path}))
 
 
 if __name__ == "__main__":

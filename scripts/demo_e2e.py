@@ -95,8 +95,10 @@ def main():
             res.alignment.path, res.alignment.path_length,
             jnp.asarray(s.progress), jnp.asarray(ref_sample.progress))))
 
+    thr = checkpoint.load_error_thresholds(args.artifacts)
     em = metrics.error_detection_metrics(
-        jnp.asarray(np.stack(flag_pred)), jnp.asarray(np.stack(flag_true)))
+        jnp.asarray(np.stack(flag_pred)), jnp.asarray(np.stack(flag_true)),
+        threshold=jnp.asarray(thr) if thr is not None else 0.5)
 
     # Comparison video for the first clip (reference README.md:50-52).
     s0, r0 = samples[0], results[0]

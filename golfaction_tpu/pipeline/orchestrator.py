@@ -142,12 +142,22 @@ class Pipeline:
         before the full pass — keypoint-seeded box tracking that survives
         camera motion where host motion-energy boxes fail, at ~1/stride
         extra pose cost, with no host round-trip (both passes live in the
-        same jitted program).
+        same jitted program).  The coarse pass cold-starts from FULL-FRAME
+        boxes (not the host estimate): the pose net trains with box-scale
+        augmentation up to whole-frame crops, so the refinement owes
+        nothing to host box heuristics and survives arbitrary camera
+        motion.
         """
         c = self.cfg
         s = c.box_refine_stride
         if s > 0 and frames.shape[0] > s:
-            coarse = self._pose_pass(params, frames[::s], boxes[::s])
+            H, W = frames.shape[1], frames.shape[2]
+            full = jnp.broadcast_to(
+                jnp.asarray([W / 2.0, H / 2.0, float(W), float(H)],
+                            jnp.float32),
+                (frames[::s].shape[0], 4),
+            )
+            coarse = self._pose_pass(params, frames[::s], full)
             rb = affine.boxes_from_keypoints(
                 coarse, (frames.shape[1], frames.shape[2]),
                 min_size=0.1 * frames.shape[1],

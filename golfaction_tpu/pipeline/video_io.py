@@ -85,15 +85,23 @@ def estimate_camera_shifts(
         tiles, th, tw = 1, H, W
     win = cv2.createHanningWindow((tw, th), cv2.CV_32F)
     shifts = np.zeros((T, 2), np.float32)
+    # Correlate every frame DIRECTLY against frame 0 — consecutive-pair
+    # deltas integrate sub-pixel bias (~0.5 px/pair under lighting flicker)
+    # into tens of pixels of phantom drift on a static clip.
     for t in range(1, T):
         est = []
         for i in range(tiles):
             for j in range(tiles):
-                a = g[t - 1, i * th:(i + 1) * th, j * tw:(j + 1) * tw]
+                a = g[0, i * th:(i + 1) * th, j * tw:(j + 1) * tw]
                 b = g[t, i * th:(i + 1) * th, j * tw:(j + 1) * tw]
-                (dx, dy), _resp = cv2.phaseCorrelate(a, b, win)
-                est.append((dx, dy))
-        shifts[t] = shifts[t - 1] + np.median(np.asarray(est), axis=0)
+                (dx, dy), resp = cv2.phaseCorrelate(a, b, win)
+                # Textureless tiles (flat sky / wall) return a meaningless
+                # peak with near-zero response — including them poisons the
+                # median (measured: 98 px box error on outdoor scenes).
+                if resp >= 0.08 and abs(dx) < tw / 2 and abs(dy) < th / 2:
+                    est.append((dx, dy))
+        if len(est) >= 3:
+            shifts[t] = np.median(np.asarray(est), axis=0)
     return shifts * downsample
 
 
@@ -102,7 +110,7 @@ def estimate_person_boxes(
     smooth: int = 9,
     min_size: float = 0.15,
     use_native: bool = True,
-    stabilize: bool = True,
+    stabilize: bool = False,
 ) -> np.ndarray:
     """Motion-energy person boxes for a (near-)static-camera swing clip.
 
@@ -110,11 +118,12 @@ def estimate_person_boxes(
     per-frame boxes are median-smoothed over time and unioned with a minimum
     size (fraction of frame) so a momentarily-still golfer isn't lost.
 
-    With `stabilize` (default), global camera translation is estimated by
-    phase correlation first; if the clip shakes, differencing runs on
-    shift-compensated frames and boxes are mapped back — without this a
-    moving camera turns the whole frame into "motion" and the boxes are
-    garbage.  Static clips skip the compensation (shifts ≈ 0) and keep the
+    With `stabilize` (opt-in), global camera translation is estimated by
+    phase correlation first and differencing runs on shift-compensated
+    frames.  Off by default: on low-texture scenes the estimator's own
+    bias costs more than it saves, and the pipeline's keypoint-seeded box
+    refinement (box_refine_stride, full-frame cold start) handles moving
+    cameras on-device without host heuristics.  Static clips keep the
     multithreaded C++ fast path (golfaction_tpu.native); this NumPy body is
     the oracle.
 

@@ -115,13 +115,17 @@ def _run_training(
 # ---------------------------------------------------------------------------
 
 def build_pose_batch(samples, pose_cfg: cfg_mod.PoseConfig, frame_stride=4,
-                     box_jitter: float = 0.0, jitter_rng=None):
+                     box_jitter: float = 0.0, jitter_rng=None,
+                     full_frame_prob: float = 0.0):
     """Rendered samples -> (crops, target heatmaps, weights) arrays.
 
     Takes every `frame_stride`-th frame of each rendered clip as an
     independent pose training example.  box_jitter > 0 randomly scales
     (1±j) and shifts (±j/2 of size) the person boxes so the model is robust
-    to the runtime's estimated (not ground-truth) boxes.
+    to the runtime's estimated (not ground-truth) boxes.  full_frame_prob
+    replaces that fraction of boxes with the WHOLE frame — the cold-start
+    crop of the pipeline's keypoint-seeded box refinement, which must work
+    from a full-frame view before any box is known.
     """
     from golfaction_tpu.ops import affine, preprocess
 
@@ -139,6 +143,11 @@ def build_pose_batch(samples, pose_cfg: cfg_mod.PoseConfig, frame_stride=4,
             raw_boxes[:, :2] += (
                 raw_boxes[:, 2:] * jitter_rng.uniform(
                     -box_jitter / 2, box_jitter / 2, (n, 2)))
+        if full_frame_prob > 0:
+            n = len(idx)
+            H, W = s.frames.shape[1:3]
+            ff = jitter_rng.uniform(size=n) < full_frame_prob
+            raw_boxes[ff] = [W / 2.0, H / 2.0, float(W), float(H)]
         boxes = affine.box_to_center_scale(
             jnp.asarray(raw_boxes),
             aspect_ratio=pose_cfg.input_hw[1] / pose_cfg.input_hw[0],
@@ -252,7 +261,8 @@ def train_pose(
         jr = np.random.default_rng(train_cfg.seed + 31)
         pool_batches = [
             build_pose_batch([s], pose_cfg, frame_stride=1,
-                             box_jitter=0.25, jitter_rng=jr)
+                             box_jitter=0.25, jitter_rng=jr,
+                             full_frame_prob=0.25)
             for s in pool
         ]
         crops = jnp.concatenate([b[0] for b in pool_batches])

@@ -185,12 +185,49 @@ def main():
     estep = loops._make_step(err_loss, tx)
     eparams = pipe.params["error"]
     eopt = tx.init(eparams)
+
+    # Infinite-stream batches: HALF each batch is FRESH synthetic clips
+    # (new seed every step, AR(1) pose-noise) so the head cannot memorize a
+    # fixed set (a fixed 432-clip cascade hit train acc 1.0 with held-out
+    # F1 ~0.3 — pure memorization); the other half samples the rendered
+    # real-pipeline pool to keep the true predicted-keypoint distribution
+    # in the mix.
+    half = max(args.batch_size // 2, 1)
+    gcn_fwd = jax.jit(lambda p, s, v: gcn_model.apply(p, s, v))
+
+    def err_batch(i):
+        fresh = data.make_swing_batch(half, T, seed=600_000 + i,
+                                      image_hw=tuple(args.hw), fault_prob=0.5)
+        fk = np.stack([s.keypoints for s in fresh])
+        nz = np.empty((half, T, fk.shape[2], 2), np.float32)
+        nz[:, 0] = rng_aug.normal(0, sigma, nz[:, 0].shape)
+        for tt in range(1, T):
+            nz[:, tt] = rho * nz[:, tt - 1] + rng_aug.normal(
+                0, innov, nz[:, 0].shape)
+        fk[..., :2] += nz
+        v_f = jnp.ones((half, T), bool)
+        sk_f = gcn_mod.normalize_skeleton(jnp.asarray(fk), v_f)
+        fl_f = jnp.asarray(np.stack([s.error_flags for s in fresh]))
+        idx = jnp.asarray(rng.choice(N, size=half, replace=False))
+        s_all = jnp.concatenate([sk_f, sk[idx]])
+        v_all = jnp.concatenate([v_f, valid[idx]])
+        pl_all = jnp.concatenate([gcn_fwd(gparams, sk_f, v_f),
+                                  gcn_logits[idx]])
+        fl_all = jnp.concatenate([fl_f, flags[idx]])
+        if i % 2 == 0:
+            rw_f = np.stack([
+                data.progress_align_reference(s, refs[j % len(refs)])
+                for j, s in enumerate(fresh)])
+            rw_f[..., :2] += rng_aug.normal(0, sigma, rw_f[..., :2].shape)
+            rw = jnp.concatenate([
+                gcn_mod.normalize_skeleton(jnp.asarray(rw_f), v_f),
+                ref_warp[idx]])
+        else:
+            rw = None
+        return s_all, pl_all, fl_all, v_all, rw
+
     for i in range(args.steps * 2):
-        idx = jnp.asarray(rng.choice(N, size=min(args.batch_size, N), replace=False))
-        rw = ref_warp[idx] if i % 2 == 0 else None
-        eparams, eopt, aux = estep(
-            eparams, eopt,
-            (sk[idx], gcn_logits[idx], flags[idx], valid[idx], rw))
+        eparams, eopt, aux = estep(eparams, eopt, err_batch(i))
         if i % max(args.steps // 3, 1) == 0 or i == args.steps * 2 - 1:
             log(f"[error-cascade] step {i} loss {float(aux['loss']):.4f} "
                 f"acc {float(aux['acc']):.4f}")

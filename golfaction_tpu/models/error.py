@@ -97,30 +97,42 @@ def angle_features(sk: jnp.ndarray) -> jnp.ndarray:
 
 
 class ErrorClassifier(nn.Module):
-    """(skeletons [B,T,V,C], phase_logits [B,T,P], valid [B,T],
-    ref_aligned [B,T,V,C] | None) -> logits [B,E].
+    """(keypoints [B,T,V,C] RAW image-space, phase_logits [B,T,P],
+    valid [B,T], ref_aligned [B,T,V,C] RAW | None) -> logits [B,E].
 
-    `ref_aligned` is the reference swing's (normalized) skeleton warped onto
-    the clip's frames via the DTW alignment path; None means "no reference"
-    and the deviation feature block is zeros with a zero has-ref flag.
+    Takes RAW keypoints and normalizes internally with CLIP-mean hip
+    centering (gcn.normalize_skeleton_clip): per-frame centering — the
+    GCN's convention — erases the global-drift trajectories that define
+    translation faults (swaying, hanging back, head movement).
+
+    `ref_aligned` is the reference swing's raw skeleton warped onto the
+    clip's frames via the DTW alignment path (normalized here with its own
+    clip stats); None means "no reference" and the deviation feature block
+    is zeros with a zero has-ref flag.
     """
 
     cfg: ErrorConfig = ErrorConfig()
 
     @nn.compact
     def __call__(self, skeletons, phase_logits, valid=None, ref_aligned=None):
+        from golfaction_tpu.models import gcn as gcn_mod
+
         cfg = self.cfg
         dt = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
         B, T, V, C = skeletons.shape
 
+        skeletons = gcn_mod.normalize_skeleton_clip(
+            skeletons.astype(jnp.float32), valid)
         # Temporal 1-2-1 smoothing before feature extraction: runtime
         # skeletons carry frame-to-frame pose jitter that the angle /
         # angular-velocity features would otherwise amplify into the
         # dominant signal (measured round 2: an error head trained on
         # unsmoothed features collapsed on predicted keypoints).
-        skeletons = _smooth_time(skeletons.astype(jnp.float32), valid)
+        skeletons = _smooth_time(skeletons, valid)
         if ref_aligned is not None:
-            ref_aligned = _smooth_time(ref_aligned.astype(jnp.float32), valid)
+            ref_aligned = gcn_mod.normalize_skeleton_clip(
+                ref_aligned.astype(jnp.float32), valid)
+            ref_aligned = _smooth_time(ref_aligned, valid)
 
         x = skeletons.reshape(B, T, V * C)
         vel = jnp.diff(x, axis=1, prepend=x[:, :1])

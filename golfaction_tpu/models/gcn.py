@@ -255,5 +255,33 @@ def normalize_skeleton(kpts: jnp.ndarray, valid=None) -> jnp.ndarray:
     return jnp.concatenate([centered, score], axis=-1)
 
 
+def normalize_skeleton_clip(kpts: jnp.ndarray, valid=None) -> jnp.ndarray:
+    """Like normalize_skeleton but centered on the CLIP-mean mid-hip.
+
+    Per-frame hip centering erases within-clip global drift — exactly the
+    signal that defines translation faults (swaying, hanging back, head
+    movement): measured round 2, an error head fed per-frame-centered
+    skeletons could not detect them at any threshold.  Centering on the
+    (masked) clip-mean hip keeps the representation translation/scale
+    invariant across cameras while preserving the drift trajectories.
+    """
+    xy = kpts[..., :2]
+    score = kpts[..., 2:]
+    hips = (xy[..., 11, :] + xy[..., 12, :]) / 2.0          # [..., T, 2]
+    shoulders = (xy[..., 5, :] + xy[..., 6, :]) / 2.0
+    torso = jnp.linalg.norm(shoulders - hips, axis=-1)       # [..., T]
+    if valid is not None:
+        v = valid.astype(torso.dtype)
+        denom = jnp.maximum(v.sum(-1), 1.0)
+        scale = (torso * v).sum(-1) / denom
+        center = (hips * v[..., None]).sum(-2) / denom[..., None]
+    else:
+        scale = torso.mean(-1)
+        center = hips.mean(-2)
+    scale = jnp.maximum(scale, 1e-3)[..., None, None, None]
+    centered = (xy - center[..., None, None, :]) / scale
+    return jnp.concatenate([centered, score], axis=-1)
+
+
 def create_gcn_model(cfg: GCNConfig = GCNConfig()):
     return ActionSegmentationGCN(cfg)

@@ -219,7 +219,7 @@ class Pipeline:
         else:
             logits = self.gcn_model.apply(params["gcn"], sk, valid[None])
         err_logits = self.error_model.apply(
-            params["error"], sk, logits, valid[None]
+            params["error"], kpts[None], logits, valid[None]
         )                                                      # [1, E]
         labels = jnp.where(valid, jnp.argmax(logits[0], -1), -1)
         return {
@@ -253,13 +253,13 @@ class Pipeline:
         features.
         """
         out = self._align_fn(params, kpts, valid, ref_kpts, ref_valid)
-        sa = gcn_mod.normalize_skeleton(kpts[None], valid[None])
-        sr = gcn_mod.normalize_skeleton(ref_kpts[None], ref_valid[None])[0]
+        # The error head takes RAW keypoints (it clip-normalizes itself),
+        # so the reference is warped in raw image space.
         ref_warp = softdtw.warp_by_path(
-            sr, out["path"], out["path_length"], kpts.shape[0]
+            ref_kpts, out["path"], out["path_length"], kpts.shape[0]
         )
         out["error_logits"] = self.error_model.apply(
-            params["error"], sa, phase_logits[None], valid[None],
+            params["error"], kpts[None], phase_logits[None], valid[None],
             ref_warp[None],
         )[0]
         return out
@@ -307,12 +307,11 @@ class Pipeline:
             )
         out = {"cost": cost, "path": path, "path_length": length}
         if phase_logits is not None:
-            sr0 = sr[0]
             ref_warp = jax.vmap(softdtw.warp_by_path, (None, 0, 0, None))(
-                sr0, path, length, kpts.shape[1]
+                ref_kpts, path, length, kpts.shape[1]
             )
             out["error_logits"] = self.error_model.apply(
-                params["error"], sa, phase_logits, valid, ref_warp
+                params["error"], kpts, phase_logits, valid, ref_warp
             )
         return out
 

@@ -193,26 +193,29 @@ def build_align_batch(samples_a, samples_b):
 
 
 def build_error_batch(samples, references=None):
-    """-> (sk, phase_logits, flags, valid, ref_warp | None).
+    """-> (kpts RAW, phase_logits, flags, valid, ref_warp RAW | None).
 
-    references: optional list of clean reference swings (one per sample);
-    each is warped onto its sample's timeline via ground-truth progress
-    (data.progress_align_reference — the GT version of the runtime DTW warp)
-    and normalized, training the error head's alignment-deviation features.
+    The error head consumes RAW keypoints (it clip-normalizes internally to
+    keep global-drift fault signals — models/error.py).  references:
+    optional list of clean reference swings (one per sample); each is
+    warped onto its sample's timeline via ground-truth progress
+    (data.progress_align_reference — the GT version of the runtime DTW
+    warp), raw, training the alignment-deviation features.
     """
-    sk, labels, valid = build_gcn_batch(samples)
+    kpts = jnp.asarray(np.stack([s.keypoints for s in samples]))
+    labels = jnp.asarray(np.stack([s.phase_labels for s in samples]))
+    valid = jnp.ones(labels.shape, bool)
     # Train against ground-truth phases as sharp logits (the runtime feeds
     # the GCN's soft posteriors; GT one-hot is the asymptotic version).
     phase_logits = jax.nn.one_hot(labels, cfg_mod.NUM_PHASES) * 10.0
     flags = jnp.asarray(np.stack([s.error_flags for s in samples]))
     ref_warp = None
     if references is not None:
-        warped = np.stack([
+        ref_warp = jnp.asarray(np.stack([
             data_mod.progress_align_reference(s, r)
             for s, r in zip(samples, references)
-        ])
-        ref_warp = gcn_mod.normalize_skeleton(jnp.asarray(warped), valid)
-    return sk, phase_logits, flags, valid, ref_warp
+        ]))
+    return kpts, phase_logits, flags, valid, ref_warp
 
 
 # ---------------------------------------------------------------------------

@@ -172,7 +172,7 @@ def main():
         for i, s in enumerate(all_samples)
     ])
     ref_np[..., :2] += rng_aug.normal(0, sigma, ref_np[..., :2].shape)
-    ref_warp = gcn_mod.normalize_skeleton(jnp.asarray(ref_np), valid)
+    ref_warp = jnp.asarray(ref_np)  # raw: the error head clip-normalizes
 
     def err_loss(params, batch):
         s, pl_, f, v, rw = batch
@@ -205,11 +205,12 @@ def main():
             nz[:, tt] = rho * nz[:, tt - 1] + rng_aug.normal(
                 0, innov, nz[:, 0].shape)
         fk[..., :2] += nz
+        fk = jnp.asarray(fk)
         v_f = jnp.ones((half, T), bool)
-        sk_f = gcn_mod.normalize_skeleton(jnp.asarray(fk), v_f)
+        sk_f = gcn_mod.normalize_skeleton(fk, v_f)  # GCN wants normalized
         fl_f = jnp.asarray(np.stack([s.error_flags for s in fresh]))
         idx = jnp.asarray(rng.choice(N, size=half, replace=False))
-        s_all = jnp.concatenate([sk_f, sk[idx]])
+        k_all = jnp.concatenate([fk, pred_kpts[idx]])  # RAW for error head
         v_all = jnp.concatenate([v_f, valid[idx]])
         pl_all = jnp.concatenate([gcn_fwd(gparams, sk_f, v_f),
                                   gcn_logits[idx]])
@@ -219,12 +220,10 @@ def main():
                 data.progress_align_reference(s, refs[j % len(refs)])
                 for j, s in enumerate(fresh)])
             rw_f[..., :2] += rng_aug.normal(0, sigma, rw_f[..., :2].shape)
-            rw = jnp.concatenate([
-                gcn_mod.normalize_skeleton(jnp.asarray(rw_f), v_f),
-                ref_warp[idx]])
+            rw = jnp.concatenate([jnp.asarray(rw_f), ref_warp[idx]])
         else:
             rw = None
-        return s_all, pl_all, fl_all, v_all, rw
+        return k_all, pl_all, fl_all, v_all, rw
 
     for i in range(args.steps * 2):
         eparams, eopt, aux = estep(eparams, eopt, err_batch(i))

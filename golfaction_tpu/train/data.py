@@ -576,12 +576,17 @@ def make_swing_batch(
     render: bool = False,
     render_style: str = "photo",
     camera_jitter: float = 0.0,
+    sev_range: tuple[float, float] = (0.6, 1.0),
 ) -> list[SwingSample]:
     """Batch of varied swings (tempo, style, faults); optionally rendered.
 
     render_style: "photo" (adversarial photo-style scenes — the training
     default) or "blob" (the simple bright-marker renderer, kept for cheap
     motion-energy fixtures).  camera_jitter only applies to "photo".
+    sev_range: fault severity draw; training streams widen the lower end
+    (e.g. 0.3) because the pose front ATTENUATES fault deflections
+    per-joint (measured: hips pass only ~0.43x of a hanging_back shift),
+    so runtime patterns look like milder faults than the generator's.
     """
     rng = np.random.default_rng(seed)
     out = []
@@ -590,7 +595,7 @@ def make_swing_batch(
         if rng.uniform() < fault_prob:
             k = rng.integers(1, 3)
             for name in rng.choice(cfg_mod.SWING_ERRORS, size=k, replace=False):
-                faults[str(name)] = float(rng.uniform(0.6, 1.0))
+                faults[str(name)] = float(rng.uniform(*sev_range))
         s = swing_keypoints(
             num_frames, rng,
             tempo_warp=float(rng.uniform(-0.8, 0.8)),

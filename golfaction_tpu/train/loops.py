@@ -419,9 +419,12 @@ def train_error(
     opt_state = tx.init(params)
 
     def batch_fn(step):
+        # sev_range widened below the generator default: the pose front
+        # attenuates fault deflections, so runtime patterns look milder.
         samples = data_mod.make_swing_batch(
             train_cfg.batch_size, frames_per_clip,
             seed=train_cfg.seed + step, fault_prob=0.5,
+            sev_range=(0.3, 1.0),
         )
         # Alternate with/without a reference so one parameter set serves
         # both runtime modes (analyze with and without a pro swing).

@@ -104,7 +104,8 @@ def main():
         f"generating {args.aug} noise-matched synthetic clips")
     rng_aug = np.random.default_rng(123)
     aug = data.make_swing_batch(args.aug, T, seed=560_000,
-                                image_hw=tuple(args.hw), fault_prob=0.5)
+                                image_hw=tuple(args.hw), fault_prob=0.5,
+                                sev_range=(0.3, 1.0))
     aug_k = np.stack([s.keypoints for s in aug])   # already image-space
     noise = np.empty((len(aug), T, *aug_k.shape[2:3], 2), np.float32)
     noise[:, 0] = rng_aug.normal(0, sigma, noise[:, 0].shape)
@@ -195,10 +196,44 @@ def main():
     half = max(args.batch_size // 2, 1)
     gcn_fwd = jax.jit(lambda p, s, v: gcn_model.apply(p, s, v))
 
+    def _fresh_pairs(i):
+        """half (faulty, clean-counterpart) clips sharing style/tempo/noise
+        (swing_keypoints draws no randomness inside its fault branches, so
+        identical rng states give identical base motion)."""
+        fresh, fks, cks = [], [], []
+        for j in range(half):
+            rd = np.random.default_rng(600_000 + i * 131 + j)
+            faults = {}
+            if rd.uniform() < 0.5:
+                kk = rd.integers(1, 3)
+                for name in rd.choice(cfg_mod.SWING_ERRORS, size=kk,
+                                      replace=False):
+                    faults[str(name)] = float(rd.uniform(0.3, 1.0))
+            tempo = float(rd.uniform(-0.8, 0.8))
+            base_seed = 610_000 + i * 131 + j
+            sf = data.swing_keypoints(T, np.random.default_rng(base_seed),
+                                      tempo_warp=tempo, faults=faults)
+            sc = data.swing_keypoints(T, np.random.default_rng(base_seed),
+                                      tempo_warp=tempo)
+            sf = data.place_in_image(sf, tuple(args.hw),
+                                     person_height_px=0.65 * args.hw[0],
+                                     rng=np.random.default_rng(base_seed + 1))
+            sc = data.place_in_image(sc, tuple(args.hw),
+                                     person_height_px=0.65 * args.hw[0],
+                                     rng=np.random.default_rng(base_seed + 1))
+            fresh.append(sf)
+            fks.append(sf.keypoints)
+            cks.append(sc.keypoints)
+        return fresh, np.stack(fks), np.stack(cks)
+
     def err_batch(i):
-        fresh = data.make_swing_batch(half, T, seed=600_000 + i,
-                                      image_hw=tuple(args.hw), fault_prob=0.5)
-        fk = np.stack([s.keypoints for s in fresh])
+        # Per-joint deflection attenuation: the pose front passes fault
+        # deflections with joint-dependent gain (measured ~0.43 on hips,
+        # ~0.88 on the head); simulate by blending each faulty clip toward
+        # its clean counterpart with a random per-joint gain.
+        fresh, fk, ck = _fresh_pairs(i)
+        g = rng_aug.uniform(0.35, 1.0, (half, 1, fk.shape[2], 1))
+        fk = ck + (fk - ck) * g
         nz = np.empty((half, T, fk.shape[2], 2), np.float32)
         nz[:, 0] = rng_aug.normal(0, sigma, nz[:, 0].shape)
         for tt in range(1, T):

@@ -134,7 +134,11 @@ class ErrorClassifier(nn.Module):
                 ref_aligned.astype(jnp.float32), valid)
             ref_aligned = _smooth_time(ref_aligned, valid)
 
-        x = skeletons.reshape(B, T, V * C)
+        # Coordinates only — the score channel is a domain giveaway
+        # (synthetic training clips carry score 1.0, real decoded keypoints
+        # 0.3-0.9), which lets the head learn domain-conditional shortcuts
+        # instead of fault geometry.
+        x = skeletons[..., :2].reshape(B, T, V * 2)
         vel = jnp.diff(x, axis=1, prepend=x[:, :1])
         ang = angle_features(skeletons)
         angvel = jnp.diff(ang, axis=1, prepend=ang[:, :1])

@@ -96,6 +96,10 @@ def main():
     gt = np.stack([s.keypoints for s in samples])
     resid = pred_kpts[..., :2] - gt[..., :2]
     sigma = float(np.median(np.abs(resid))) * 1.4826   # robust std estimate
+    # Per-joint scale profile: wrists/elbows are far noisier than hips —
+    # an iid-across-joints noise model is itself a domain giveaway.
+    sigma_v = np.median(np.abs(resid), axis=(0, 1, 3)) * 1.4826  # [V]
+    sigma_v = np.maximum(sigma_v, 0.25 * sigma)[None, None, :, None]
     r0 = resid - resid.mean(axis=1, keepdims=True)
     rho = float(np.clip(
         (r0[:, 1:] * r0[:, :-1]).sum() / max((r0 ** 2).sum(), 1e-9), 0.0, 0.99
@@ -108,12 +112,12 @@ def main():
                                 sev_range=(0.3, 1.0))
     aug_k = np.stack([s.keypoints for s in aug])   # already image-space
     noise = np.empty((len(aug), T, *aug_k.shape[2:3], 2), np.float32)
-    noise[:, 0] = rng_aug.normal(0, sigma, noise[:, 0].shape)
-    innov = np.sqrt(1 - rho ** 2) * sigma
+    noise[:, 0] = rng_aug.normal(0, 1.0, noise[:, 0].shape)
+    innov = np.sqrt(1 - rho ** 2)
     for tt in range(1, T):
         noise[:, tt] = rho * noise[:, tt - 1] + rng_aug.normal(
             0, innov, noise[:, 0].shape)
-    aug_k[..., :2] += noise
+    aug_k[..., :2] += noise * sigma_v
     pred_kpts = np.concatenate([pred_kpts, aug_k])
     labels = np.concatenate([labels, np.stack([s.phase_labels for s in aug])])
     flags = np.concatenate([flags, np.stack([s.error_flags for s in aug])])
@@ -235,11 +239,11 @@ def main():
         g = rng_aug.uniform(0.35, 1.0, (half, 1, fk.shape[2], 1))
         fk = ck + (fk - ck) * g
         nz = np.empty((half, T, fk.shape[2], 2), np.float32)
-        nz[:, 0] = rng_aug.normal(0, sigma, nz[:, 0].shape)
+        nz[:, 0] = rng_aug.normal(0, 1.0, nz[:, 0].shape)
         for tt in range(1, T):
             nz[:, tt] = rho * nz[:, tt - 1] + rng_aug.normal(
                 0, innov, nz[:, 0].shape)
-        fk[..., :2] += nz
+        fk[..., :2] += nz * sigma_v
         fk = jnp.asarray(fk)
         v_f = jnp.ones((half, T), bool)
         sk_f = gcn_mod.normalize_skeleton(fk, v_f)  # GCN wants normalized

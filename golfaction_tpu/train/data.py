@@ -552,6 +552,45 @@ def render_frames_photo(
                                boxes=boxes)
 
 
+def make_fault_balanced_batch(
+    per_fault: int,
+    num_frames: int,
+    seed: int = 0,
+    image_hw: Optional[tuple[int, int]] = None,
+    render: bool = False,
+    sev_range: tuple[float, float] = (0.6, 1.0),
+    clean: Optional[int] = None,
+) -> list[SwingSample]:
+    """Stratified eval/calibration set: `per_fault` single-fault clips for
+    EVERY fault plus `clean` fault-free clips.
+
+    Random fault draws (make_swing_batch) routinely leave a fault with zero
+    positives in a small set, making per-fault metrics/thresholds
+    meaningless (measured: two faults scored F1 0.00 purely because the
+    24-clip calibration contained no examples of them).
+    """
+    clean = per_fault if clean is None else clean
+    rng = np.random.default_rng(seed)
+    specs = [
+        {str(name): float(rng.uniform(*sev_range))}
+        for name in cfg_mod.SWING_ERRORS
+        for _ in range(per_fault)
+    ] + [{} for _ in range(clean)]
+    out = []
+    for i, faults in enumerate(specs):
+        s = swing_keypoints(
+            num_frames, np.random.default_rng(seed + 7919 * (i + 1)),
+            tempo_warp=float(rng.uniform(-0.8, 0.8)), faults=faults,
+        )
+        if image_hw is not None:
+            s = place_in_image(s, image_hw,
+                               person_height_px=0.65 * image_hw[0], rng=rng)
+            if render:
+                s = render_frames_photo(s, image_hw, rng=rng)
+        out.append(s)
+    return out
+
+
 def progress_align_reference(
     sample: SwingSample, ref: SwingSample
 ) -> np.ndarray:

@@ -275,12 +275,12 @@ def main():
     # ---- 4. Per-fault decision thresholds, calibrated on held-out clips
     # through the REAL pipeline (both analyze modes, with/without a
     # reference swing), maximizing per-fault F1 on the validation probs.
-    log(f"calibrating per-fault thresholds on {args.calib_clips} held-out "
-        "clips ...")
+    log(f"calibrating per-fault thresholds (stratified, "
+        f"{args.calib_clips} per fault) ...")
     pipe.params = dict(pipe.params, gcn=gparams, error=eparams)
-    cal = data.make_swing_batch(args.calib_clips, T, seed=580_000,
-                                image_hw=tuple(args.hw), render=True,
-                                fault_prob=0.5)
+    cal = data.make_fault_balanced_batch(
+        args.calib_clips, T, seed=580_000, image_hw=tuple(args.hw),
+        render=True, clean=2 * args.calib_clips)
     ref_cal = data.make_swing_batch(1, T, seed=581_000,
                                     image_hw=tuple(args.hw), render=True,
                                     fault_prob=0.0)[0]

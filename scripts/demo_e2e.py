@@ -95,9 +95,19 @@ def main():
             res.alignment.path, res.alignment.path_length,
             jnp.asarray(s.progress), jnp.asarray(ref_sample.progress))))
 
+    # Error detection is scored on a STRATIFIED set (every fault
+    # represented) — the random 12-clip draw above routinely misses whole
+    # faults, making its per-fault recall meaningless.
+    err_samples = data.make_fault_balanced_batch(
+        3, args.frames, seed=993_000, image_hw=hw, render=True, clean=6)
+    err_pred, err_true = [], []
+    for s in err_samples:
+        r = pipe.analyze(s.frames, reference=ref_skel)
+        err_pred.append(np.asarray(r.error_probs))
+        err_true.append(s.error_flags)
     thr = checkpoint.load_error_thresholds(args.artifacts)
     em = metrics.error_detection_metrics(
-        jnp.asarray(np.stack(flag_pred)), jnp.asarray(np.stack(flag_true)),
+        jnp.asarray(np.stack(err_pred)), jnp.asarray(np.stack(err_true)),
         threshold=jnp.asarray(thr) if thr is not None else 0.5)
 
     # Comparison video for the first clip (reference README.md:50-52).
@@ -113,6 +123,7 @@ def main():
 
     summary = {
         "clips": args.clips,
+        "error_eval_clips": len(err_samples),
         "pck05_mean": float(np.mean(pcks)),
         "phase_acc_mean": float(np.mean(accs)),
         "phase_f1_mean": float(np.mean(f1s)),

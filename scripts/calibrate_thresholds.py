@@ -64,7 +64,9 @@ def main():
         truth += [s.error_flags, s.error_flags]
     probs = np.stack(probs)
     truth = np.stack(truth)
-    grid = np.linspace(0.05, 0.95, 19)
+    # Grid floored at 0.2: tiny thresholds flag everything and win
+    # calibration F1 through recall while collapsing held-out precision.
+    grid = np.linspace(0.20, 0.90, 15)
     thresholds = {}
     for e, fault in enumerate(cfg_mod.SWING_ERRORS):
         best_thr, best_f1 = 0.5, -1.0
@@ -75,9 +77,8 @@ def main():
             fn = float((~p & (truth[:, e] > 0)).sum())
             f1 = 2 * tp / max(2 * tp + fp + fn, 1e-9)
             if f1 > best_f1 + 1e-9 or (
-                abs(f1 - best_f1) <= 1e-9
-                and abs(thr - 0.5) < abs(best_thr - 0.5)
-            ):
+                abs(f1 - best_f1) <= 1e-9 and thr > best_thr
+            ):  # ties -> higher threshold (precision bias)
                 best_thr, best_f1 = float(thr), f1
         thresholds[fault] = best_thr
         log(f"   {fault:16s} thr={best_thr:.2f} calib-F1={best_f1:.2f}")

@@ -127,6 +127,16 @@ def requant_epilogue_pallas(
         interpret = jax.default_backend() != "tpu"
     N, H, W, C = y_i32.shape
     R = H * W
+    # VMEM budget: the kernel holds ~4.5 f32 copies of the [R, C] block
+    # (int32 in, f32 dequant, squares, GN result, int8 out + temps).  The
+    # stem layer (R=12288, C=64) measures ~18 MB and trips the 16 MB scoped
+    # limit — route oversized layers through the XLA epilogue (jit fuses it
+    # into 2-3 HBM passes; still far fewer than the unfused chain).
+    if 6.0 * R * C * 4 > 14 * 2**20:  # measured: stem uses ~5.7 copies
+        return requant_epilogue_reference(
+            y_i32, sy, gamma, beta, groups, residual=residual,
+            res_scale=res_scale, res_gamma=res_gamma, res_beta=res_beta,
+            relu=relu, out_scale=out_scale)
     rows = y_i32.reshape(N, R, C)
 
     res_mode = "none"

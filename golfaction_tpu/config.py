@@ -146,6 +146,11 @@ class PipelineConfig:
     # Pallas kernel at pipeline batch sizes (0.40 vs 0.56 ms / 8x1080p on
     # v5e — the kernel pays an NHWC->planar transpose), so XLA is default.
     preprocess_impl: str = "xla"
+    # analyze_batch processes clips in fixed chunks of this many per
+    # compiled program (padded by repetition): every distinct batch shape
+    # is a separate jit compile, so the chunk bounds compiles at
+    # (buckets x 1) while keeping MXU batches large.
+    clip_batch: int = 8
     # Keypoint-seeded box refinement: run a coarse pose pass every
     # `box_refine_stride` frames with the host-estimated boxes, derive
     # smoothed per-frame boxes from the decoded keypoints on-device, and

@@ -430,32 +430,43 @@ class Pipeline:
             if p is not None:
                 groups.setdefault(p[0].shape[0], []).append(i)
 
+        # Fixed clip-chunk size: every distinct batch shape is a separate
+        # jit compile (minutes over the tunnel), so groups run in chunks of
+        # `clip_batch` with the final partial chunk padded by repeating its
+        # last clip — compile count is bounded at (buckets x 1) regardless
+        # of how many clips arrive.  (Measured: un-chunked, a 16-clip batch
+        # recompiled per group size and spent 860 s compiling inside the
+        # timed region.)
         dp = self.mesh.shape["data"] if self.mesh is not None else 1
+        cb = max(self.cfg.clip_batch, dp)
+        cb += (-cb) % dp
         outs: dict[int, dict] = {}
         for tb, idxs in groups.items():
-            fr = np.stack([prepared[i][0] for i in idxs])
-            bx = np.stack([prepared[i][1] for i in idxs])
-            vd = np.stack([prepared[i][2] for i in idxs])
-            if len(idxs) % dp:
-                # Pad the clip axis to the mesh's data size (dup last clip).
-                pad = dp - len(idxs) % dp
-                fr = np.concatenate([fr, np.repeat(fr[-1:], pad, 0)])
-                bx = np.concatenate([bx, np.repeat(bx[-1:], pad, 0)])
-                vd = np.concatenate([vd, np.repeat(vd[-1:], pad, 0)])
-            out = self._core_batch(
-                self.params, jnp.asarray(fr), jnp.asarray(bx), jnp.asarray(vd)
-            )
-            if reference is not None:
-                a = self._align_batch(
-                    self.params, out["keypoints"], jnp.asarray(vd),
-                    jnp.asarray(reference.keypoints),
-                    jnp.asarray(reference.valid),
-                    out["phase_logits"],
+            for c0 in range(0, len(idxs), cb):
+                chunk = idxs[c0:c0 + cb]
+                fr = np.stack([prepared[i][0] for i in chunk])
+                bx = np.stack([prepared[i][1] for i in chunk])
+                vd = np.stack([prepared[i][2] for i in chunk])
+                if len(chunk) < cb:
+                    pad = cb - len(chunk)
+                    fr = np.concatenate([fr, np.repeat(fr[-1:], pad, 0)])
+                    bx = np.concatenate([bx, np.repeat(bx[-1:], pad, 0)])
+                    vd = np.concatenate([vd, np.repeat(vd[-1:], pad, 0)])
+                out = self._core_batch(
+                    self.params, jnp.asarray(fr), jnp.asarray(bx),
+                    jnp.asarray(vd)
                 )
-                out["alignment"] = a
-                out["error_logits"] = a["error_logits"]
-            for n, i in enumerate(idxs):
-                outs[i] = jax.tree.map(lambda x: x[n], out)
+                if reference is not None:
+                    a = self._align_batch(
+                        self.params, out["keypoints"], jnp.asarray(vd),
+                        jnp.asarray(reference.keypoints),
+                        jnp.asarray(reference.valid),
+                        out["phase_logits"],
+                    )
+                    out["alignment"] = a
+                    out["error_logits"] = a["error_logits"]
+                for n, i in enumerate(chunk):
+                    outs[i] = jax.tree.map(lambda x: x[n], out)
 
         results: list = []
         for i, p in enumerate(prepared):

@@ -83,8 +83,8 @@ def test_analyze_batch_matches_single(pipe):
     single = [pipe.analyze(c) for c in clips]
     for rb, rs in zip(batch, single):
         np.testing.assert_allclose(
-            np.asarray(rb.keypoints), np.asarray(rs.keypoints), atol=1e-5
-        )
+            np.asarray(rb.keypoints), np.asarray(rs.keypoints), atol=1e-4
+        )  # batch-8 chunk vs single-clip program: accumulation order
         np.testing.assert_array_equal(
             np.asarray(rb.phase_labels), np.asarray(rs.phase_labels)
         )

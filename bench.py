@@ -200,6 +200,60 @@ def main():
              f"{e2e_fps:,.1f} fps ({e2e_dt:.2f} s for {n_real} frames, "
              f"{len(paths)} mixed-length clips)")
 
+        # Component breakdown — over THIS tunneled dev setup the e2e number
+        # is dominated by host->device transfer of raw 1080p frames across
+        # the tunnel link, which a co-located TPU host does over PCIe at
+        # 10+ GB/s.  Decompose so the report separates workload cost
+        # (decode, compute) from link artifact (H2D).
+        from golfaction_tpu.pipeline import video_io as vio
+
+        t0 = time.perf_counter()
+        prep = []
+        for p in paths:
+            fr, _ = vio.load_video(p)
+            bx = vio.estimate_person_boxes(fr)
+            prep.append(vio.pad_to_bucket(fr, bx, e2e_cfg.length_buckets))
+        t_host = time.perf_counter() - t0
+
+        # H2D bandwidth sampled on 4 clips (transferring all 16 at once
+        # plus compute buffers exhausts HBM), extrapolated to the set.
+        nbytes = 0
+        t0 = time.perf_counter()
+        for fr, bx, vd in prep[:4]:
+            d = jax.device_put(fr)
+            nbytes += fr.nbytes
+            _fence(d[0, 0, :2].astype(jnp.float32))
+            del d
+        t_h2d_sample = time.perf_counter() - t0
+        all_bytes = sum(p[0].nbytes for p in prep)
+        t_h2d = t_h2d_sample * all_bytes / max(nbytes, 1)
+
+        # Device compute, chunk-streamed (transfer excluded via pre-fence).
+        t_comp = 0.0
+        by_bucket: dict = {}
+        for p in prep:
+            by_bucket.setdefault(p[0].shape[0], []).append(p)
+        for tb, group in by_bucket.items():
+            cb = e2e_pipe.cfg.clip_batch
+            for c0 in range(0, len(group), cb):
+                chunk = group[c0:c0 + cb]
+                while len(chunk) < cb:
+                    chunk.append(chunk[-1])
+                fr = jax.device_put(np.stack([c[0] for c in chunk]))
+                bx = jax.device_put(np.stack([c[1] for c in chunk]))
+                vd = jax.device_put(np.stack([c[2] for c in chunk]))
+                _fence(fr[0, 0, 0, :2].astype(jnp.float32))
+                t0 = time.perf_counter()
+                out = e2e_pipe._core_batch(e2e_pipe.params, fr, bx, vd)
+                _fence(out["keypoints"])
+                t_comp += time.perf_counter() - t0
+                del fr, bx, vd, out
+        _log(f"[config 5, e2e breakdown] host decode+boxes {t_host:.1f} s "
+             f"({n_real / t_host:,.1f} fps) | H2D {t_h2d:.1f} s "
+             f"({nbytes / t_h2d / 2**20:.0f} MB/s over the tunnel — a dev-"
+             f"setup artifact, PCIe-attached hosts do 10+ GB/s) | device "
+             f"compute {t_comp:.1f} s ({n_real / t_comp:,.1f} fps)")
+
     # --- per-stage breakdowns (stderr only) ---
     f0, b0 = frames_dev[0], boxes_dev[0]
 

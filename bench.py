@@ -1,13 +1,28 @@
 """End-to-end benchmark harness.
 
-Times the five BASELINE configs on the available accelerator and prints ONE
-JSON line for the driver:
+Times the five BASELINE configs on the available accelerator and prints
+JSON lines for the driver:
     {"metric": "end_to_end_fps_1080p", "value": N, "unit": "frames/sec/chip",
-     "vs_baseline": N / 300.0}
+     "vs_baseline": N / 300.0, ...}
 
 The headline metric is BASELINE config 5 (full pipeline: 1080p video ->
 pose -> phases -> errors, pipelined on-device); the north-star target is
 300 fps/chip (BASELINE.json).  Per-stage numbers go to stderr.
+
+Robustness design (round 3 — round 2's driver run timed out with no JSON):
+  * Supervisor/worker split: ``python bench.py`` runs a supervisor that
+    re-execs itself with ``--worker``, streams the child's output, keeps the
+    LAST JSON line seen, and — on child crash, hang, or budget expiry —
+    prints that JSON itself and exits 0.  A hung tunnel call or a mid-bench
+    RESOURCE_EXHAUSTED can no longer lose the measurement.
+  * The worker prints the headline JSON the moment the config-5 number
+    exists and RE-prints an enriched JSON after each later section; heavy
+    sections (e2e decode path, per-stage breakdowns) are wall-clock gated
+    and individually try/except-guarded.
+  * Upfront host->device traffic is bounded: the dev tunnel moves ~1-12
+    MB/s, so the headline clips are tiled on-device from a few real rendered
+    frames (compute time on TPU is shape-, not value-, dependent; disclosed
+    in the log).  ``--h2d-frames 0`` restores full-clip transfer.
 """
 
 from __future__ import annotations
@@ -16,14 +31,28 @@ import argparse
 import dataclasses
 import json
 import os
+import queue
+import subprocess
 import sys
+import threading
 import time
 
 import numpy as np
 
+_START = time.time()
+
 
 def _log(msg):
     print(msg, file=sys.stderr, flush=True)
+
+
+def _emit(payload):
+    """Print a (possibly partial) headline JSON line NOW and flush.
+
+    Called repeatedly as sections complete; the driver/supervisor keeps the
+    last line, so each emission strictly enriches the previous one.
+    """
+    print(json.dumps(payload), flush=True)
 
 
 def _fence(out):
@@ -63,6 +92,31 @@ def _time_fn(fn, *args, warmup=2, iters=5, min_time=1.0):
     return dt
 
 
+def _program_flops(fn, *args):
+    """FLOP count of the jitted program via XLA cost analysis (None if the
+    backend doesn't expose it)."""
+    import jax
+
+    try:
+        comp = jax.jit(fn).lower(*args).compile()
+        ca = comp.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0] if ca else {}
+        flops = float(ca.get("flops", 0.0))
+        return flops if flops > 0 else None
+    except Exception as e:  # pragma: no cover - backend specific
+        _log(f"  cost_analysis unavailable: {type(e).__name__}: {e}")
+        return None
+
+
+_PEAK_TFLOPS = {
+    # bf16 dense peak per chip.
+    "TPU v5 lite": 197.0,   # v5e
+    "TPU v4": 275.0,
+    "TPU v5p": 459.0,
+}
+
+
 def _make_e2e_videos(n_clips, hw, cache_dir):
     """Encode n mixed-length 1080p swing mp4s (one-time, cached).
 
@@ -92,21 +146,34 @@ def _make_e2e_videos(n_clips, hw, cache_dir):
     return paths, lengths
 
 
-def main():
-    parser = argparse.ArgumentParser()
-    parser.add_argument("--clip-frames", type=int, default=64)
-    parser.add_argument("--clips", type=int, default=2)
-    parser.add_argument("--height", type=int, default=1080)
-    parser.add_argument("--width", type=int, default=1920)
-    parser.add_argument("--iters", type=int, default=5)
-    parser.add_argument("--e2e-clips", type=int, default=16,
-                        help="clips for the decode-included e2e measurement "
-                             "(0 disables)")
-    parser.add_argument("--cpu", action="store_true", help="force CPU (debug)")
-    parser.add_argument("--impl-compare", action="store_true",
-                        help="also time XLA vs Pallas for each kernel stage")
-    args = parser.parse_args()
+def _remaining(budget):
+    return budget - (time.time() - _START)
 
+
+def _make_pipeline(orchestrator, cfg, dev, seed=0):
+    """Pipeline with params initialized on the host CPU backend.
+
+    Flax init is hundreds of tiny ops; running them over the tunneled TPU
+    costs minutes (measured ~6 min on a slow tunnel day), while CPU init +
+    ONE device_put of the param pytree is seconds.
+    """
+    import jax
+
+    try:
+        cpu0 = jax.local_devices(backend="cpu")[0]
+    except Exception:
+        return orchestrator.Pipeline(cfg, seed=seed)
+    t0 = time.time()
+    with jax.default_device(cpu0):
+        pipe = orchestrator.Pipeline(cfg, seed=seed)
+        _fence(pipe.params["pose"])
+    pipe.params = jax.device_put(pipe.params, dev)
+    _fence(pipe.params["pose"])
+    _log(f"pipeline init (CPU) + param transfer: {time.time() - t0:.1f}s")
+    return pipe
+
+
+def worker_main(args):
     import jax
 
     # Persistent compile cache: the bench compiles ~8 programs; over the
@@ -122,46 +189,72 @@ def main():
     from golfaction_tpu.pipeline import orchestrator
     from golfaction_tpu.train import data as data_mod
 
+    budget = args.budget_seconds
+
     dev = jax.devices()[0]
-    _log(f"device: {dev.platform} {getattr(dev, 'device_kind', '?')}")
+    kind = getattr(dev, "device_kind", "?")
+    _log(f"device: {dev.platform} {kind}  (budget {budget:.0f}s)")
 
     T = args.clip_frames
     hw = (args.height, args.width)
     cfg = cfg_mod.get_config("full_pipeline")
     cfg = dataclasses.replace(cfg, length_buckets=(T,), video_hw=hw)
-    pipe = orchestrator.Pipeline(cfg, seed=0)
+    pipe = _make_pipeline(orchestrator, cfg, dev)
 
-    cache = f"/tmp/golfaction_bench_clips_{args.clips}x{T}_{hw[0]}x{hw[1]}.npz"
+    # --- source frames for the headline device-program measurement ---
+    # Only `h2d_frames` real rendered frames per clip cross the tunnel; the
+    # clip is tiled to T on-device (TPU stage time is shape-dependent, not
+    # value-dependent, so the fps is identical to a full transfer — which
+    # `--h2d-frames 0` restores for verification).
+    nsrc = args.h2d_frames if args.h2d_frames > 0 else T
+    nsrc = min(nsrc, T)
+    cache = f"/tmp/golfaction_bench_src_{nsrc}x{T}_{hw[0]}x{hw[1]}.npz"
     if os.path.exists(cache):
-        _log(f"loading cached clips from {cache}")
+        _log(f"loading cached source frames from {cache}")
         z = np.load(cache)
-        clips = list(z["frames"])
-        boxes = list(z["boxes"])
+        src_frames, src_boxes = z["frames"], z["boxes"]
     else:
-        _log(f"generating {args.clips} synthetic {hw[0]}p clips x {T} frames ...")
-        clips = []
-        boxes = []
-        for i in range(args.clips):
+        # Reuse the round-1/2 full-clip cache when present to skip rendering.
+        old = f"/tmp/golfaction_bench_clips_2x64_{hw[0]}x{hw[1]}.npz"
+        if os.path.exists(old) and T == 64:
+            _log(f"slicing source frames from {old}")
+            z = np.load(old)
+            src_frames = z["frames"][0][:nsrc]
+            src_boxes = z["boxes"][0][:nsrc]
+        else:
+            _log(f"rendering {nsrc} source frames at {hw[0]}p ...")
             s = data_mod.make_swing_batch(
-                1, T, seed=i, image_hw=hw, render=True
+                1, max(nsrc, 8), seed=0, image_hw=hw, render=True
             )[0]
-            clips.append(s.frames)
-            boxes.append(s.boxes)
+            src_frames = s.frames[:nsrc]
+            src_boxes = s.boxes[:nsrc]
         try:
-            np.savez(cache, frames=np.stack(clips), boxes=np.stack(boxes))
+            np.savez(cache, frames=src_frames, boxes=src_boxes)
         except OSError:
             pass
 
-    # --- headline: config 5, full pipeline fps (frames / wall second) ---
-    # All clips run as ONE batched device program (vmapped core), the same
-    # path analyze_batch uses.  Clips are transferred one at a time and
-    # stacked on-device: single host->device transfers beyond ~1.5 GB kill
-    # tunneled clients.
-    frames_dev = jnp.stack([jax.device_put(c) for c in clips])
-    boxes_dev = jnp.asarray(np.stack(boxes))
+    t0 = time.time()
+    src_dev = jax.device_put(jnp.asarray(src_frames))
+    _fence(src_dev[0, 0, :2].astype(jnp.float32))
+    mb = src_frames.nbytes / 2**20
+    h2d_rate = mb / max(time.time() - t0, 1e-9)  # MB/s, today's tunnel
+    _log(f"H2D {mb:.0f} MB in {time.time() - t0:.1f}s ({h2d_rate:.1f} MB/s)")
+
+    reps = (T + nsrc - 1) // nsrc
+    clip0 = jnp.tile(src_dev, (reps, 1, 1, 1))[:T]
+    box0 = jnp.tile(jnp.asarray(src_boxes), (reps, 1))[:T]
+    frames_dev = jnp.stack([clip0, jnp.flip(clip0, axis=0)])
+    boxes_dev = jnp.stack([box0, jnp.flip(box0, axis=0)])
+    if args.clips != 2:
+        idx = jnp.arange(args.clips) % 2
+        frames_dev = frames_dev[idx]
+        boxes_dev = boxes_dev[idx]
     valid = jnp.ones((T,), bool)
     valid_b = jnp.ones((args.clips, T), bool)
 
+    # --- headline: config 5, full pipeline fps (frames / wall second) ---
+    # All clips run as ONE batched device program (vmapped core), the same
+    # path analyze_batch uses.
     def run_all():
         return pipe._core_batch(pipe.params, frames_dev, boxes_dev, valid_b)
 
@@ -171,161 +264,7 @@ def main():
     _log(f"[config 5] full pipeline (device program): {fps:,.1f} fps "
          f"({dt*1e3:.1f} ms for {total_frames} frames)")
 
-    # --- honest end-to-end: mp4 on disk -> decode -> H2D -> compute -> host
-    # fetch, through analyze_batch over mixed-length clips (two buckets).
-    # This is the "video in" contract number; the device-program fps above is
-    # chip throughput.  The gap between them is host-side OpenCV 1080p decode
-    # (single-core on this box); decode scales with host cores while the chip
-    # has ~50x headroom.
-    e2e_fps = None
-    if args.e2e_clips > 0:
-        e2e_cfg = dataclasses.replace(cfg, length_buckets=(64, 128),
-                                      video_hw=hw)
-        e2e_pipe = orchestrator.Pipeline(e2e_cfg, seed=0)
-        paths, lengths = _make_e2e_videos(
-            args.e2e_clips, hw, "/tmp/golfaction_e2e_videos"
-        )
-        # Warmup compiles both bucket programs (not timed).
-        warm = e2e_pipe.analyze_batch([paths[0], paths[-1]])
-        _fence(warm[0].keypoints)
-
-        t0 = time.perf_counter()
-        results = e2e_pipe.analyze_batch(paths)
-        for r in results:
-            _fence(r.keypoints)  # materialize bytes: true completion fence
-        e2e_dt = time.perf_counter() - t0
-        n_real = sum(lengths)
-        e2e_fps = n_real / e2e_dt
-        _log(f"[config 5, e2e] mp4->decode->analyze_batch->fetch: "
-             f"{e2e_fps:,.1f} fps ({e2e_dt:.2f} s for {n_real} frames, "
-             f"{len(paths)} mixed-length clips)")
-
-        # Component breakdown — over THIS tunneled dev setup the e2e number
-        # is dominated by host->device transfer of raw 1080p frames across
-        # the tunnel link, which a co-located TPU host does over PCIe at
-        # 10+ GB/s.  Decompose so the report separates workload cost
-        # (decode, compute) from link artifact (H2D).
-        from golfaction_tpu.pipeline import video_io as vio
-
-        t0 = time.perf_counter()
-        prep = []
-        for p in paths:
-            fr, _ = vio.load_video(p)
-            bx = vio.estimate_person_boxes(fr)
-            prep.append(vio.pad_to_bucket(fr, bx, e2e_cfg.length_buckets))
-        t_host = time.perf_counter() - t0
-
-        # H2D bandwidth sampled on 4 clips (transferring all 16 at once
-        # plus compute buffers exhausts HBM), extrapolated to the set.
-        nbytes = 0
-        t0 = time.perf_counter()
-        for fr, bx, vd in prep[:4]:
-            d = jax.device_put(fr)
-            nbytes += fr.nbytes
-            _fence(d[0, 0, :2].astype(jnp.float32))
-            del d
-        t_h2d_sample = time.perf_counter() - t0
-        all_bytes = sum(p[0].nbytes for p in prep)
-        t_h2d = t_h2d_sample * all_bytes / max(nbytes, 1)
-
-        # Device compute, chunk-streamed (transfer excluded via pre-fence).
-        t_comp = 0.0
-        by_bucket: dict = {}
-        for p in prep:
-            by_bucket.setdefault(p[0].shape[0], []).append(p)
-        for tb, group in by_bucket.items():
-            cb = e2e_pipe.cfg.clip_batch
-            for c0 in range(0, len(group), cb):
-                chunk = group[c0:c0 + cb]
-                while len(chunk) < cb:
-                    chunk.append(chunk[-1])
-                fr = jax.device_put(np.stack([c[0] for c in chunk]))
-                bx = jax.device_put(np.stack([c[1] for c in chunk]))
-                vd = jax.device_put(np.stack([c[2] for c in chunk]))
-                _fence(fr[0, 0, 0, :2].astype(jnp.float32))
-                t0 = time.perf_counter()
-                out = e2e_pipe._core_batch(e2e_pipe.params, fr, bx, vd)
-                _fence(out["keypoints"])
-                t_comp += time.perf_counter() - t0
-                del fr, bx, vd, out
-        _log(f"[config 5, e2e breakdown] host decode+boxes {t_host:.1f} s "
-             f"({n_real / t_host:,.1f} fps) | H2D {t_h2d:.1f} s "
-             f"({nbytes / t_h2d / 2**20:.0f} MB/s over the tunnel — a dev-"
-             f"setup artifact, PCIe-attached hosts do 10+ GB/s) | device "
-             f"compute {t_comp:.1f} s ({n_real / t_comp:,.1f} fps)")
-
-    # --- per-stage breakdowns (stderr only) ---
-    f0, b0 = frames_dev[0], boxes_dev[0]
-
-    pose_dt = _time_fn(lambda: pipe._pose_only(pipe.params, f0, b0),
-                       warmup=1, iters=args.iters)
-    _log(f"[config 2] preprocess+pose+decode: {T/pose_dt:,.1f} fps")
-
-    from golfaction_tpu.models import gcn as gcn_mod
-
-    kpts = pipe._pose_only(pipe.params, f0, b0)
-    sk = gcn_mod.normalize_skeleton(kpts[None], valid[None])
-    gcn_fwd = jax.jit(lambda p, s, v: pipe.gcn_model.apply(p, s, v))
-    gcn_dt = _time_fn(lambda: gcn_fwd(pipe.params["gcn"], sk, valid[None]),
-                      warmup=1, iters=args.iters)
-    _log(f"[config 3] GCN segmentation: {T/gcn_dt:,.1f} fps")
-
-    align_dt = _time_fn(
-        lambda: pipe._align(pipe.params, kpts, valid, kpts, valid),
-        warmup=1, iters=args.iters,
-    )
-    _log(f"[config 4] soft-DTW alignment ({T}x{T}): {align_dt*1e3:.2f} ms/pair")
-
-    # Config 4 in its design regime: B pairs per program (the wavefront is
-    # sequential in T but fully batched, so the chip's win shows at B>=64).
-    B4, T4 = 64, 128
-    reps = (T4 + kpts.shape[0] - 1) // kpts.shape[0]
-    kb = jnp.tile(kpts[None], (B4, reps, 1, 1))[:, :T4]
-    vb = jnp.ones((B4, T4), bool)
-    batch_align = jax.jit(pipe._align_batch_fn)
-    align_b_dt = _time_fn(
-        lambda: batch_align(pipe.params, kb, vb, kb[0], vb[0]),
-        warmup=1, iters=args.iters,
-    )
-    _log(f"[config 4, batch] soft-DTW B={B4} pairs {T4}x{T4}: "
-         f"{B4/align_b_dt:,.1f} pairs/s ({align_b_dt*1e3:.2f} ms/batch)")
-
-    # config 1: single-image pose (CPU-runnable check happens in CI).
-    crop1 = jnp.zeros((1, *cfg.pose.input_hw, 3), jnp.float32)
-    pose1 = jax.jit(lambda p, x: pipe.pose_model.apply(p, x))
-    one_dt = _time_fn(lambda: pose1(pipe.params["pose"], crop1),
-                      warmup=1, iters=args.iters)
-    _log(f"[config 1] single-image pose forward: {one_dt*1e3:.2f} ms")
-
-    if args.impl_compare:
-        from golfaction_tpu.ops import heatmap as hm_mod
-        from golfaction_tpu.ops import preprocess as pp_mod
-        from golfaction_tpu.ops import softdtw as sd_mod
-        from golfaction_tpu.ops.pallas import decode_kernel as dk
-        from golfaction_tpu.ops.pallas import preprocess_kernel as ppk
-        from golfaction_tpu.ops.pallas import softdtw_kernel as sdk
-
-        rng = np.random.default_rng(0)
-        fr8 = frames_dev[0][:8]                   # 8 frames of clip 0
-        b8 = boxes_dev[0][:8]
-        dt_x = _time_fn(jax.jit(
-            lambda: pp_mod.crop_resize_normalize(fr8, b8, cfg.pose.input_hw)))
-        dt_p = _time_fn(jax.jit(
-            lambda: ppk.crop_resize_normalize_pallas(fr8, b8, cfg.pose.input_hw)))
-        _log(f"[impl] preprocess 8x{hw[0]}p:  XLA {dt_x*1e3:.3f} ms | Pallas {dt_p*1e3:.3f} ms")
-
-        hms = jnp.asarray(rng.normal(size=(256, 17, 64, 48)), jnp.float32)
-        dt_x = _time_fn(jax.jit(lambda: hm_mod.decode_heatmaps(hms, "udp")))
-        dt_p = _time_fn(jax.jit(lambda: dk.decode_heatmaps_pallas(hms)))
-        _log(f"[impl] decode 256x17:       XLA {dt_x*1e3:.3f} ms | Pallas {dt_p*1e3:.3f} ms")
-
-        emb = jnp.asarray(rng.normal(size=(16, 128, 16)), jnp.float32)
-        Dm = sd_mod.pairwise_sqdist(emb, emb)
-        dt_x = _time_fn(jax.jit(lambda: sd_mod.softdtw_cost_batch(Dm, 0.1)))
-        dt_p = _time_fn(jax.jit(lambda: sdk.softdtw_cost_pallas(Dm, 0.1)))
-        _log(f"[impl] softdtw 16x128x128:  scan {dt_x*1e3:.3f} ms | Pallas {dt_p*1e3:.3f} ms")
-
-    print(json.dumps({
+    result = {
         "metric": "end_to_end_fps_1080p",
         "value": round(fps, 1),
         "unit": "frames/sec/chip",
@@ -334,10 +273,314 @@ def main():
         # the on-device pipeline program; `e2e_fps` additionally includes
         # host mp4 decode, H2D transfer, and the result fetch.
         "device_fps": round(fps, 1),
-        "e2e_fps": None if e2e_fps is None else round(e2e_fps, 1),
-        "e2e_vs_baseline": None if e2e_fps is None else round(e2e_fps / 300.0, 3),
-    }))
+        "e2e_fps": None,
+        "e2e_vs_baseline": None,
+    }
+    _emit(result)  # the driver gets the headline NOW, whatever happens later
+
+    # --- MFU (VERDICT r2 item 7): FLOPs of the compiled headline program ---
+    flops = _program_flops(
+        lambda p, f, b, v: pipe._core_batch(p, f, b, v),
+        pipe.params, frames_dev, boxes_dev, valid_b,
+    )
+    if flops:
+        eff_tflops = flops / dt / 1e12
+        peak = _PEAK_TFLOPS.get(kind)
+        result["effective_tflops"] = round(eff_tflops, 1)
+        if peak:
+            result["mfu_vs_peak"] = round(eff_tflops / peak, 3)
+        _log(f"[config 5] {flops/1e9:.1f} GFLOP/call -> "
+             f"{eff_tflops:.1f} TFLOP/s effective"
+             + (f" = {eff_tflops / peak:.1%} of {kind} bf16 peak" if peak else ""))
+        _emit(result)
+
+    # --- honest end-to-end: mp4 on disk -> decode -> H2D -> compute -> host
+    # fetch, through analyze_batch over mixed-length clips (two buckets).
+    # This is the "video in" contract number; the device-program fps above is
+    # chip throughput.  The gap between them is host-side OpenCV 1080p decode
+    # (single-core box) and the dev tunnel's H2D bandwidth.
+    # Auto-size the e2e clip count to today's tunnel: every raw padded
+    # frame crosses the link, so at the measured `h2d_rate` only so many
+    # clips fit the remaining budget.  (On a co-located TPU host this is a
+    # non-issue — PCIe does 10+ GB/s.)
+    fb_mb = hw[0] * hw[1] * 3 / 2**20
+    all_lengths = [40 + (i * 29) % 89 for i in range(max(args.e2e_clips, 0))]
+    bucket = lambda t: 64 if t <= 64 else 128  # noqa: E731
+
+    def _e2e_estimate(n):
+        # warmup batch (first+last clip) + timed batch, plus decode/fetch.
+        frames_padded = sum(bucket(t) for t in all_lengths[:n])
+        warm = bucket(all_lengths[0]) + bucket(all_lengths[n - 1])
+        return ((frames_padded + warm) * fb_mb / max(h2d_rate, 0.1)) * 1.2 \
+            + 0.1 * sum(all_lengths[:n]) + 30.0
+
+    n_e2e = 0
+    for n in range(args.e2e_clips, 1, -1):
+        if _e2e_estimate(n) < _remaining(budget) - 30.0:
+            n_e2e = n
+            break
+
+    if n_e2e >= 2:
+        try:
+            _log(f"[config 5, e2e] running with {n_e2e} clips "
+                 f"(est {_e2e_estimate(n_e2e):.0f}s at {h2d_rate:.1f} MB/s, "
+                 f"{_remaining(budget):.0f}s left)")
+            e2e_cfg = dataclasses.replace(cfg, length_buckets=(64, 128),
+                                          video_hw=hw)
+            e2e_pipe = _make_pipeline(orchestrator, e2e_cfg, dev)
+            paths, lengths = _make_e2e_videos(
+                n_e2e, hw, "/tmp/golfaction_e2e_videos"
+            )
+            # Warmup compiles both bucket programs (not timed).
+            warm = e2e_pipe.analyze_batch([paths[0], paths[-1]])
+            _fence(warm[0].keypoints)
+            del warm
+
+            if _remaining(budget) > 30.0:
+                t0 = time.perf_counter()
+                results = e2e_pipe.analyze_batch(paths)
+                for r in results:
+                    _fence(r.keypoints)  # materialize: true completion fence
+                e2e_dt = time.perf_counter() - t0
+                n_real = sum(lengths)
+                e2e_fps = n_real / e2e_dt
+                _log(f"[config 5, e2e] mp4->decode->analyze_batch->fetch: "
+                     f"{e2e_fps:,.1f} fps ({e2e_dt:.2f} s for {n_real} "
+                     f"frames, {len(paths)} mixed-length clips)")
+                result["e2e_fps"] = round(e2e_fps, 1)
+                result["e2e_vs_baseline"] = round(e2e_fps / 300.0, 3)
+                result["e2e_clips"] = len(paths)
+                _emit(result)
+                del results
+            del e2e_pipe
+        except Exception as e:
+            _log(f"[config 5, e2e] FAILED (continuing): "
+                 f"{type(e).__name__}: {e}")
+    else:
+        _log(f"[config 5, e2e] skipped: even 2 clips need "
+             f"~{_e2e_estimate(2):.0f}s at {h2d_rate:.1f} MB/s tunnel H2D "
+             f"with {_remaining(budget):.0f}s left"
+             if args.e2e_clips >= 2 else "[config 5, e2e] disabled")
+
+    # --- per-stage breakdowns (stderr only), each budget-gated + guarded ---
+    f0, b0 = frames_dev[0], boxes_dev[0]
+
+    def stage(name, fn, min_left=45):
+        if _remaining(budget) < min_left:
+            _log(f"[{name}] skipped (budget)")
+            return
+        try:
+            fn()
+        except Exception as e:
+            _log(f"[{name}] FAILED (continuing): {type(e).__name__}: {e}")
+
+    def _cfg2():
+        pose_dt = _time_fn(lambda: pipe._pose_only(pipe.params, f0, b0),
+                           warmup=1, iters=args.iters)
+        _log(f"[config 2] preprocess+pose+decode: {T/pose_dt:,.1f} fps")
+        result["pose_fps"] = round(T / pose_dt, 1)
+
+    stage("config 2", _cfg2)
+
+    from golfaction_tpu.models import gcn as gcn_mod
+
+    kpts = pipe._pose_only(pipe.params, f0, b0)
+
+    def _cfg3():
+        sk = gcn_mod.normalize_skeleton(kpts[None], valid[None])
+        gcn_fwd = jax.jit(lambda p, s, v: pipe.gcn_model.apply(p, s, v))
+        gcn_dt = _time_fn(lambda: gcn_fwd(pipe.params["gcn"], sk, valid[None]),
+                          warmup=1, iters=args.iters)
+        _log(f"[config 3] GCN segmentation: {T/gcn_dt:,.1f} fps")
+        result["gcn_fps"] = round(T / gcn_dt, 1)
+
+    stage("config 3", _cfg3)
+
+    def _cfg4():
+        align_dt = _time_fn(
+            lambda: pipe._align(pipe.params, kpts, valid, kpts, valid),
+            warmup=1, iters=args.iters,
+        )
+        _log(f"[config 4] soft-DTW alignment ({T}x{T}): "
+             f"{align_dt*1e3:.2f} ms/pair")
+
+        # Config 4 in its design regime: B pairs per program (the wavefront
+        # is sequential in T but fully batched; the win shows at B>=64).
+        B4, T4 = 64, 128
+        reps4 = (T4 + kpts.shape[0] - 1) // kpts.shape[0]
+        kb = jnp.tile(kpts[None], (B4, reps4, 1, 1))[:, :T4]
+        vb = jnp.ones((B4, T4), bool)
+        batch_align = jax.jit(pipe._align_batch_fn)
+        align_b_dt = _time_fn(
+            lambda: batch_align(pipe.params, kb, vb, kb[0], vb[0]),
+            warmup=1, iters=args.iters,
+        )
+        _log(f"[config 4, batch] soft-DTW B={B4} pairs {T4}x{T4}: "
+             f"{B4/align_b_dt:,.1f} pairs/s ({align_b_dt*1e3:.2f} ms/batch)")
+        result["softdtw_pairs_per_s"] = round(B4 / align_b_dt, 1)
+
+    stage("config 4", _cfg4)
+
+    def _cfg1():
+        # config 1: single-image pose (CPU-runnable check happens in CI).
+        crop1 = jnp.zeros((1, *cfg.pose.input_hw, 3), jnp.float32)
+        pose1 = jax.jit(lambda p, x: pipe.pose_model.apply(p, x))
+        one_dt = _time_fn(lambda: pose1(pipe.params["pose"], crop1),
+                          warmup=1, iters=args.iters)
+        _log(f"[config 1] single-image pose forward: {one_dt*1e3:.2f} ms")
+
+    stage("config 1", _cfg1)
+
+    if args.impl_compare:
+        def _impl():
+            from golfaction_tpu.ops import heatmap as hm_mod
+            from golfaction_tpu.ops import preprocess as pp_mod
+            from golfaction_tpu.ops import softdtw as sd_mod
+            from golfaction_tpu.ops.pallas import decode_kernel as dk
+            from golfaction_tpu.ops.pallas import preprocess_kernel as ppk
+            from golfaction_tpu.ops.pallas import softdtw_kernel as sdk
+
+            rng = np.random.default_rng(0)
+            fr8 = frames_dev[0][:8]                   # 8 frames of clip 0
+            b8 = boxes_dev[0][:8]
+            dt_x = _time_fn(jax.jit(
+                lambda: pp_mod.crop_resize_normalize(fr8, b8, cfg.pose.input_hw)))
+            dt_p = _time_fn(jax.jit(
+                lambda: ppk.crop_resize_normalize_pallas(fr8, b8, cfg.pose.input_hw)))
+            _log(f"[impl] preprocess 8x{hw[0]}p:  XLA {dt_x*1e3:.3f} ms | "
+                 f"Pallas {dt_p*1e3:.3f} ms")
+
+            hms = jnp.asarray(rng.normal(size=(256, 17, 64, 48)), jnp.float32)
+            dt_x = _time_fn(jax.jit(lambda: hm_mod.decode_heatmaps(hms, "udp")))
+            dt_p = _time_fn(jax.jit(lambda: dk.decode_heatmaps_pallas(hms)))
+            _log(f"[impl] decode 256x17:       XLA {dt_x*1e3:.3f} ms | "
+                 f"Pallas {dt_p*1e3:.3f} ms")
+
+            emb = jnp.asarray(rng.normal(size=(16, 128, 16)), jnp.float32)
+            Dm = sd_mod.pairwise_sqdist(emb, emb)
+            dt_x = _time_fn(jax.jit(lambda: sd_mod.softdtw_cost_batch(Dm, 0.1)))
+            dt_p = _time_fn(jax.jit(lambda: sdk.softdtw_cost_pallas(Dm, 0.1)))
+            _log(f"[impl] softdtw 16x128x128:  scan {dt_x*1e3:.3f} ms | "
+                 f"Pallas {dt_p*1e3:.3f} ms")
+
+        stage("impl-compare", _impl, min_left=90)
+
+    result["elapsed_s"] = round(time.time() - _START, 1)
+    _emit(result)
+
+
+def _add_worker_args(parser):
+    parser.add_argument("--clip-frames", type=int, default=64)
+    parser.add_argument("--clips", type=int, default=2)
+    parser.add_argument("--height", type=int, default=1080)
+    parser.add_argument("--width", type=int, default=1920)
+    parser.add_argument("--iters", type=int, default=5)
+    parser.add_argument("--h2d-frames", type=int, default=8,
+                        help="real frames transferred per headline clip; "
+                             "tiled to clip length on-device (0 = transfer "
+                             "full clips)")
+    parser.add_argument("--e2e-clips", type=int, default=8,
+                        help="max clips for the decode-included e2e "
+                             "measurement; auto-shrunk to the measured "
+                             "tunnel H2D rate (0 disables)")
+    parser.add_argument("--budget-seconds", type=float,
+                        default=float(os.environ.get(
+                            "GOLFACTION_BENCH_BUDGET", 480)),
+                        help="soft wall-clock budget; optional sections are "
+                             "skipped when it runs low, and the supervisor "
+                             "hard-kills at this point + grace")
+    parser.add_argument("--cpu", action="store_true", help="force CPU (debug)")
+    parser.add_argument("--impl-compare", action="store_true",
+                        help="also time XLA vs Pallas for each kernel stage")
+
+
+def supervise(args, extra_argv):
+    """Run the worker as a child; guarantee a JSON line lands on stdout.
+
+    The child's stdout JSON lines are tracked (last one wins) and every
+    other line is forwarded to stderr.  On normal exit the last JSON is
+    re-printed; on crash/hang/budget-kill the last JSON seen still gets
+    printed and the supervisor exits 0 — a partial measurement must never
+    be lost to a late failure (round-2 lesson: rc=124, parsed=null).
+    """
+    cmd = [sys.executable, os.path.abspath(__file__), "--worker"] + extra_argv
+    proc = subprocess.Popen(cmd, stdout=subprocess.PIPE, stderr=None,
+                            text=True, bufsize=1)
+    q: "queue.Queue" = queue.Queue()
+
+    def reader():
+        for line in proc.stdout:
+            q.put(line)
+        q.put(None)
+
+    t = threading.Thread(target=reader, daemon=True)
+    t.start()
+
+    last_json = None
+    deadline = _START + args.budget_seconds + 30.0  # grace for worker's own gating
+    eof = False
+    while not eof:
+        timeout = deadline - time.time()
+        if timeout <= 0:
+            _log(f"[supervisor] budget exhausted after "
+                 f"{time.time() - _START:.0f}s — killing worker")
+            proc.kill()
+            break
+        try:
+            line = q.get(timeout=min(timeout, 5.0))
+        except queue.Empty:
+            continue
+        if line is None:
+            eof = True
+            continue
+        line = line.rstrip("\n")
+        if line.startswith("{"):
+            try:
+                parsed = json.loads(line)
+                if "metric" in parsed:
+                    last_json = parsed
+                    continue
+            except json.JSONDecodeError:
+                pass
+        _log(line)
+    # Drain anything the reader got before the kill.
+    while True:
+        try:
+            line = q.get_nowait()
+        except queue.Empty:
+            break
+        if isinstance(line, str) and line.startswith("{"):
+            try:
+                parsed = json.loads(line)
+                if "metric" in parsed:
+                    last_json = parsed
+            except json.JSONDecodeError:
+                pass
+    try:
+        proc.wait(timeout=15)
+    except subprocess.TimeoutExpired:
+        proc.kill()
+
+    if last_json is not None:
+        print(json.dumps(last_json), flush=True)
+        return 0
+    _log("[supervisor] worker produced no JSON")
+    return proc.returncode or 1
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--worker", action="store_true",
+                        help="run measurements in-process (no supervisor)")
+    _add_worker_args(parser)
+    args = parser.parse_args()
+
+    if args.worker:
+        worker_main(args)
+        return 0
+    extra = [a for a in sys.argv[1:] if a != "--worker"]
+    return supervise(args, extra)
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

@@ -83,7 +83,8 @@ def cmd_analyze(args):
         from golfaction_tpu.pipeline import report as report_mod
 
         rep = report_mod.build_report(
-            res, reference_name=args.reference or "reference swing")
+            res, error_threshold=getattr(args, "threshold", 0.5),
+            reference_name=args.reference or "reference swing")
         out["report"] = rep
         _log(report_mod.format_report(rep))
 
@@ -119,16 +120,23 @@ def cmd_compare(args):
     if args.set:
         cfg = cfg_mod.apply_overrides(cfg, args.set)
     pipe = orchestrator.Pipeline(cfg)
+    threshold = 0.5
     if args.checkpoint:
         pipe.params = checkpoint.load_pipeline_params(args.checkpoint,
                                                       like=pipe.params)
+        thr = checkpoint.load_error_thresholds(args.checkpoint)
+        if thr is not None:
+            threshold = thr
+            _log("using calibrated per-fault error thresholds")
 
     _log(f"analyzing reference {args.reference} ...")
     ref_res = pipe.analyze(args.reference)
     _log(f"analyzing {args.video} ...")
-    res = pipe.analyze(args.video, reference=pipe.extract_skeleton(ref_res))
+    res = pipe.analyze(args.video, reference=pipe.extract_skeleton(ref_res),
+                       error_threshold=threshold)
 
-    rep = report_mod.build_report(res, reference_name=args.reference)
+    rep = report_mod.build_report(res, error_threshold=threshold,
+                                  reference_name=args.reference)
     _log(report_mod.format_report(rep))
 
     if args.out_video:
@@ -177,7 +185,8 @@ def cmd_stream(args):
     n_pushed = 0
     t0 = time.perf_counter()
     for frame in video_io.frame_source(args.source, realtime=args.realtime,
-                                       max_frames=args.max_frames):
+                                       max_frames=args.max_frames,
+                                       npy_fps=args.fps):
         push_t[n_pushed] = time.perf_counter()
         n_pushed += 1
         for r in sa.push(frame):
@@ -278,6 +287,9 @@ def main(argv=None):
     s.add_argument("--hop", type=int, default=16)
     s.add_argument("--realtime", action="store_true",
                    help="pace file decode at native fps (live simulation)")
+    s.add_argument("--fps", type=float, default=30.0,
+                   help="assumed capture fps for .npy sources under "
+                        "--realtime (.npy has no rate metadata)")
     s.add_argument("--max-frames", type=int, default=None)
     s.add_argument("--keypoints", action="store_true",
                    help="include keypoints in each JSONL line")

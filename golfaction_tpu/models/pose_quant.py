@@ -282,10 +282,16 @@ def pose_forward_int8_fused(params, qweights, scales, cfg: PoseConfig, x,
                             interpret=None):
     """int8 forward with fused Pallas epilogues (ops/pallas/requant_kernel).
 
-    Semantically identical to pose_forward_int8 (same quantization points,
-    GN in f32), but every tensor between convs lives in HBM as int8: the
+    Near-identical to pose_forward_int8 (same quantization points, GN in
+    f32), but every tensor between convs lives in HBM as int8: the
     dequant/GN/residual/relu/requant chain is one kernel pass per site
-    instead of 4-5 XLA elementwise passes.  x [B, H, W, 3] float.
+    instead of 4-5 XLA elementwise passes.  One numerical difference: on
+    identity-shortcut blocks the residual added here is the REQUANTIZED
+    int8 block input (h dequantized at s_in), while pose_forward_int8 adds
+    the pre-quantization bf16 activation — so each skip connection carries
+    one extra quantization error bounded by s_in/2 per element.  The
+    fused-vs-unfused PCK parity test guards the end metric.
+    x [B, H, W, 3] float.
     """
     from golfaction_tpu.ops.pallas import requant_kernel as rk
 

@@ -63,21 +63,29 @@ def tempo_ratio(segs: list[dict]) -> Optional[float]:
 def build_report(
     result,
     fps: float = 30.0,
-    error_threshold: float = 0.5,
+    error_threshold=0.5,
     reference_name: str = "reference swing",
 ) -> dict:
-    """AnalysisResult -> structured report dict (JSON-safe)."""
+    """AnalysisResult -> structured report dict (JSON-safe).
+
+    ``error_threshold`` is a scalar or a per-fault array of length
+    ``len(SWING_ERRORS)`` (e.g. calibrated thresholds from
+    ``checkpoint.load_error_thresholds``); the report's fault list then
+    agrees with ``result.error_flags`` computed from the same thresholds.
+    """
     valid = np.asarray(result.valid)
     T = int(valid.sum())
     labels = np.asarray(result.phase_labels)[:T]
     probs = np.asarray(result.error_probs)
+    thr = np.broadcast_to(np.asarray(error_threshold, np.float32),
+                          probs.shape)
 
     segs = phase_segments(labels, fps)
     ratio = tempo_ratio(segs)
 
     faults = []
-    for name, p in zip(cfg_mod.SWING_ERRORS, probs):
-        if p > error_threshold:
+    for name, p, t in zip(cfg_mod.SWING_ERRORS, probs, thr):
+        if p > t:
             faults.append({
                 "fault": name,
                 "confidence": round(float(p), 3),

@@ -217,12 +217,15 @@ def frame_source(
     spec: str,
     realtime: bool = False,
     max_frames: Optional[int] = None,
+    npy_fps: float = 30.0,
 ) -> Iterator[np.ndarray]:
     """Yield RGB frames from a live-style source (reference README.md:11 rig).
 
     spec:
       * "camera:N"    — cv2.VideoCapture device N (a physical camera);
-      * "<path>.npy"  — a saved [T, H, W, 3] uint8 array;
+      * "<path>.npy"  — a saved [T, H, W, 3] uint8 array; .npy files carry
+        no frame-rate metadata, so realtime pacing uses `npy_fps`
+        (default 30);
       * anything else — a video file, decoded frame-by-frame.  With
         realtime=True, frames are paced at the file's native fps, simulating
         a live feed (the steady-state-latency measurement mode).
@@ -234,7 +237,7 @@ def frame_source(
 
     if spec.endswith(".npy"):
         arr = np.load(spec)
-        period = 1.0 / 30.0
+        period = 1.0 / max(npy_fps, 1.0)
         t_next = time.perf_counter()
         for i, f in enumerate(arr):
             if max_frames is not None and i >= max_frames:

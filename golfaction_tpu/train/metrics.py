@@ -93,3 +93,39 @@ def error_detection_metrics(probs, flags, threshold: float = 0.5):
     recall = tp / jnp.maximum(tp + fn, 1e-9)
     f1 = 2 * precision * recall / jnp.maximum(precision + recall, 1e-9)
     return {"precision": precision, "recall": recall, "f1": f1}
+
+
+def calibrate_error_thresholds(probs, truth, log=None):
+    """Per-fault decision thresholds maximizing F1 on pooled probabilities.
+
+    probs/truth: [N, E] numpy-like arrays (probabilities / 0-1 flags).
+    Returns {fault_name: threshold}.  The grid is floored at 0.2 — tiny
+    thresholds flag everything and win calibration F1 through recall while
+    collapsing held-out precision — and ties break toward the HIGHER
+    threshold (precision bias).  Shared by scripts/calibrate_thresholds.py
+    and scripts/cascade_finetune.py.
+    """
+    import numpy as np
+
+    from golfaction_tpu import config as cfg_mod
+
+    probs = np.asarray(probs)
+    truth = np.asarray(truth)
+    grid = np.linspace(0.20, 0.90, 15)
+    thresholds = {}
+    for e, fault in enumerate(cfg_mod.SWING_ERRORS):
+        best_thr, best_f1 = 0.5, -1.0
+        for thr in grid:
+            p = probs[:, e] > thr
+            tp = float((p & (truth[:, e] > 0)).sum())
+            fp = float((p & (truth[:, e] == 0)).sum())
+            fn = float((~p & (truth[:, e] > 0)).sum())
+            f1 = 2 * tp / max(2 * tp + fp + fn, 1e-9)
+            if f1 > best_f1 + 1e-9 or (
+                abs(f1 - best_f1) <= 1e-9 and thr > best_thr
+            ):
+                best_thr, best_f1 = float(thr), f1
+        thresholds[fault] = best_thr
+        if log is not None:
+            log(f"   {fault:16s} thr={best_thr:.2f} calib-F1={best_f1:.2f}")
+    return thresholds

@@ -37,7 +37,7 @@ def main():
 
     from golfaction_tpu import config as cfg_mod
     from golfaction_tpu.pipeline import orchestrator
-    from golfaction_tpu.train import checkpoint, data
+    from golfaction_tpu.train import checkpoint, data, metrics
 
     def log(m):
         print(m, file=sys.stderr, flush=True)
@@ -64,24 +64,7 @@ def main():
         truth += [s.error_flags, s.error_flags]
     probs = np.stack(probs)
     truth = np.stack(truth)
-    # Grid floored at 0.2: tiny thresholds flag everything and win
-    # calibration F1 through recall while collapsing held-out precision.
-    grid = np.linspace(0.20, 0.90, 15)
-    thresholds = {}
-    for e, fault in enumerate(cfg_mod.SWING_ERRORS):
-        best_thr, best_f1 = 0.5, -1.0
-        for thr in grid:
-            p = probs[:, e] > thr
-            tp = float((p & (truth[:, e] > 0)).sum())
-            fp = float((p & (truth[:, e] == 0)).sum())
-            fn = float((~p & (truth[:, e] > 0)).sum())
-            f1 = 2 * tp / max(2 * tp + fp + fn, 1e-9)
-            if f1 > best_f1 + 1e-9 or (
-                abs(f1 - best_f1) <= 1e-9 and thr > best_thr
-            ):  # ties -> higher threshold (precision bias)
-                best_thr, best_f1 = float(thr), f1
-        thresholds[fault] = best_thr
-        log(f"   {fault:16s} thr={best_thr:.2f} calib-F1={best_f1:.2f}")
+    thresholds = metrics.calibrate_error_thresholds(probs, truth, log=log)
     path = os.path.join(args.artifacts, "error_thresholds.json")
     with open(path, "w") as f:
         json.dump(thresholds, f, indent=2)

@@ -150,14 +150,50 @@ def _remaining(budget):
     return budget - (time.time() - _START)
 
 
-def _make_pipeline(orchestrator, cfg, dev, seed=0):
-    """Pipeline with params initialized on the host CPU backend.
+_PARAMS_CACHE = {}  # device -> params pytree, shared across pipelines
 
-    Flax init is hundreds of tiny ops; running them over the tunneled TPU
-    costs minutes (measured ~6 min on a slow tunnel day), while CPU init +
-    ONE device_put of the param pytree is seconds.
+
+def _make_pipeline(orchestrator, cfg, dev, seed=0):
+    """Pipeline with params restored from the repo's trained checkpoints.
+
+    Flax random-init is hundreds of tiny ops that each jit-compile; on the
+    single-core bench host with a stale AOT cache this measured 462s *per
+    pipeline* (r3b log) — nearly the whole budget.  Orbax restore of the
+    trained artifacts is pure host IO + ONE device_put, and makes the bench
+    measure the shipped (trained) pipeline rather than a random-init one.
+    The compute graph and therefore the fps are identical either way.
     """
     import jax
+
+    if dev in _PARAMS_CACHE:
+        return orchestrator.Pipeline(cfg, params=_PARAMS_CACHE[dev])
+
+    t0 = time.time()
+    art = os.path.join(os.path.dirname(os.path.abspath(__file__)), "artifacts")
+    try:
+        from golfaction_tpu.train import checkpoint as ckpt_mod
+
+        # Restore onto host CPU (fast local IO), then ONE device_put of the
+        # whole tree — per-leaf transfers over the tunnel would be slow.
+        try:
+            cpu0 = jax.local_devices(backend="cpu")[0]
+        except Exception:
+            cpu0 = None
+        params = {}
+        for name in ("pose", "gcn", "align", "error"):
+            step_dir = ckpt_mod.latest_step_dir(
+                os.path.join(art, "params", name))
+            if step_dir is None:
+                raise FileNotFoundError(f"no checkpoint for {name}")
+            params[name] = ckpt_mod.restore_params(step_dir, device=cpu0)
+        params = jax.device_put(params, dev)
+        _fence(params["pose"])
+        _log(f"trained params restored + transferred: {time.time() - t0:.1f}s")
+        _PARAMS_CACHE[dev] = params
+        return orchestrator.Pipeline(cfg, params=params)
+    except Exception as e:
+        _log(f"artifact restore unavailable ({type(e).__name__}: {e}); "
+             f"falling back to CPU init")
 
     try:
         cpu0 = jax.local_devices(backend="cpu")[0]
@@ -169,6 +205,7 @@ def _make_pipeline(orchestrator, cfg, dev, seed=0):
         _fence(pipe.params["pose"])
     pipe.params = jax.device_put(pipe.params, dev)
     _fence(pipe.params["pose"])
+    _PARAMS_CACHE[dev] = pipe.params
     _log(f"pipeline init (CPU) + param transfer: {time.time() - t0:.1f}s")
     return pipe
 

@@ -30,9 +30,18 @@ def save_params(path: str, params: Any, step: Optional[int] = None) -> str:
     return path
 
 
-def restore_params(path: str, like: Optional[Any] = None) -> Any:
+def restore_params(path: str, like: Optional[Any] = None,
+                   device=None) -> Any:
     """Restore a params pytree.  `like` (an abstract/concrete pytree of the
-    same structure) enables dtype/shape-checked restoration."""
+    same structure) enables dtype/shape-checked restoration.
+
+    With `like=None` the target structure is reconstructed from the
+    checkpoint's own metadata — no model init needed (init jit-compiles
+    hundreds of ops; minutes on a single-core host).  `device` pins the
+    restored arrays (default: the process default device), which also
+    neutralizes stale device names in checkpoint sharding metadata (e.g. a
+    TPU-written checkpoint restored on CPU).
+    """
     path = os.path.abspath(path)
     ckptr = ocp.StandardCheckpointer()
     if like is not None:
@@ -40,7 +49,15 @@ def restore_params(path: str, like: Optional[Any] = None) -> Any:
             lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype), like
         )
         return ckptr.restore(path, abstract)
-    return ckptr.restore(path)
+    if device is None:
+        device = jax.local_devices()[0]
+    sharding = jax.sharding.SingleDeviceSharding(device)
+    meta = ckptr.metadata(path).item_metadata
+    abstract = jax.tree.map(
+        lambda m: jax.ShapeDtypeStruct(m.shape, m.dtype, sharding=sharding),
+        meta,
+    )
+    return ckptr.restore(path, abstract)
 
 
 def load_pipeline_params(root: str, like: Any) -> Any:

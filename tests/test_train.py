@@ -111,6 +111,18 @@ def test_checkpoint_round_trip(tmp_path):
     )
     assert checkpoint.latest_step_dir(str(tmp_path / "ckpt")) == path
 
+    # Metadata-based restore: no `like` tree, structure/dtypes come from the
+    # checkpoint itself (the fast path bench.py uses to skip model init).
+    import jax
+
+    blind = checkpoint.restore_params(path)
+    assert blind["gcn"]["b"].dtype == jnp.bfloat16
+    np.testing.assert_array_equal(
+        np.asarray(blind["pose"]["w"]), np.asarray(params["pose"]["w"])
+    )
+    dev = jax.local_devices()[0]
+    assert blind["pose"]["w"].sharding == jax.sharding.SingleDeviceSharding(dev)
+
 
 @pytest.mark.slow
 def test_checkpoint_resume_continues_training(tmp_path):

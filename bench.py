@@ -331,6 +331,14 @@ def worker_main(args):
              + (f" = {eff_tflops / peak:.1%} of {kind} bf16 peak" if peak else ""))
         _emit(result)
 
+    # Free the headline batch before the e2e section: a 16 GB chip cannot
+    # hold the 2x64x1080p headline clips AND the clip_batch x 128 x 1080p
+    # e2e warmup batches at once (r3d run OOMed here).  Keep one clip for
+    # the per-stage breakdowns.
+    f0, b0 = frames_dev[0], boxes_dev[0]
+    _fence(f0[0, :2])
+    del run_all, frames_dev, boxes_dev, clip0, box0, src_dev
+
     # --- honest end-to-end: mp4 on disk -> decode -> H2D -> compute -> host
     # fetch, through analyze_batch over mixed-length clips (two buckets).
     # This is the "video in" contract number; the device-program fps above is
@@ -343,13 +351,25 @@ def worker_main(args):
     fb_mb = hw[0] * hw[1] * 3 / 2**20
     all_lengths = [40 + (i * 29) % 89 for i in range(max(args.e2e_clips, 0))]
     bucket = lambda t: 64 if t <= 64 else 128  # noqa: E731
+    vid_dir = "/tmp/golfaction_e2e_videos"
+    all_paths = [
+        os.path.join(vid_dir, f"clip_{i:02d}_{T_}f_{hw[0]}x{hw[1]}.mp4")
+        for i, T_ in enumerate(all_lengths)
+    ]
 
     def _e2e_estimate(n):
-        # warmup batch (first+last clip) + timed batch, plus decode/fetch.
+        # analyze_batch transfers each real clip's bucket-padded frames
+        # exactly once (chunk padding stays on-device) and warmup is
+        # transfer-free, so H2D = padded frames x frame MB.  Plus one-time
+        # mp4 rendering for cache-miss clips (~0.3 s/frame), OpenCV decode
+        # (~0.1 s/frame), and compile/fetch slack.
         frames_padded = sum(bucket(t) for t in all_lengths[:n])
-        warm = bucket(all_lengths[0]) + bucket(all_lengths[n - 1])
-        return ((frames_padded + warm) * fb_mb / max(h2d_rate, 0.1)) * 1.2 \
-            + 0.1 * sum(all_lengths[:n]) + 30.0
+        render = sum(
+            all_lengths[i] for i in range(n)
+            if not os.path.exists(all_paths[i])
+        )
+        return (frames_padded * fb_mb / max(h2d_rate, 0.1)) * 1.2 \
+            + 0.3 * render + 0.1 * sum(all_lengths[:n]) + 45.0
 
     n_e2e = 0
     for n in range(args.e2e_clips, 1, -1):
@@ -358,6 +378,7 @@ def worker_main(args):
             break
 
     if n_e2e >= 2:
+        e2e_pipe = None
         try:
             _log(f"[config 5, e2e] running with {n_e2e} clips "
                  f"(est {_e2e_estimate(n_e2e):.0f}s at {h2d_rate:.1f} MB/s, "
@@ -366,12 +387,37 @@ def worker_main(args):
                                           video_hw=hw)
             e2e_pipe = _make_pipeline(orchestrator, e2e_cfg, dev)
             paths, lengths = _make_e2e_videos(
-                n_e2e, hw, "/tmp/golfaction_e2e_videos"
+                n_e2e, hw, vid_dir
             )
-            # Warmup compiles both bucket programs (not timed).
-            warm = e2e_pipe.analyze_batch([paths[0], paths[-1]])
-            _fence(warm[0].keypoints)
-            del warm
+            # Warmup compiles both bucket programs + the in-place batch
+            # assembly, from device-resident zeros: no frames cross the
+            # tunnel (compute graphs are shape-, not value-, dependent).
+            # Buffers are freed per bucket — both batches at once OOM.
+            cb = e2e_cfg.clip_batch
+
+            def _warm_bucket(tb):
+                fz = jnp.zeros((tb, hw[0], hw[1], 3), jnp.uint8)
+                bz = jnp.broadcast_to(
+                    jnp.asarray(
+                        [hw[1] / 2, hw[0] / 2, hw[1] / 2, hw[0] / 2],
+                        jnp.float32,
+                    ),
+                    (tb, 4),
+                )
+                fzb = orchestrator.assemble_clip_batch([fz], cb)
+                bzb = orchestrator.assemble_clip_batch([bz], cb)
+                del fz
+                vz = jnp.ones((cb, tb), bool)
+                _fence(
+                    e2e_pipe._core_batch(e2e_pipe.params, fzb, bzb, vz)[
+                        "keypoints"
+                    ]
+                )
+                _log(f"  warm bucket {tb}: done ({_remaining(budget):.0f}s "
+                     f"left)")
+
+            for tb in (64, 128):
+                _warm_bucket(tb)
 
             if _remaining(budget) > 30.0:
                 t0 = time.perf_counter()
@@ -389,10 +435,12 @@ def worker_main(args):
                 result["e2e_clips"] = len(paths)
                 _emit(result)
                 del results
-            del e2e_pipe
         except Exception as e:
             _log(f"[config 5, e2e] FAILED (continuing): "
                  f"{type(e).__name__}: {e}")
+        finally:
+            # Free e2e device buffers on every path, else later stages OOM.
+            e2e_pipe = None  # noqa: F841
     else:
         _log(f"[config 5, e2e] skipped: even 2 clips need "
              f"~{_e2e_estimate(2):.0f}s at {h2d_rate:.1f} MB/s tunnel H2D "
@@ -400,8 +448,6 @@ def worker_main(args):
              if args.e2e_clips >= 2 else "[config 5, e2e] disabled")
 
     # --- per-stage breakdowns (stderr only), each budget-gated + guarded ---
-    f0, b0 = frames_dev[0], boxes_dev[0]
-
     def stage(name, fn, min_left=45):
         if _remaining(budget) < min_left:
             _log(f"[{name}] skipped (budget)")
@@ -421,7 +467,11 @@ def worker_main(args):
 
     from golfaction_tpu.models import gcn as gcn_mod
 
-    kpts = pipe._pose_only(pipe.params, f0, b0)
+    try:
+        kpts = pipe._pose_only(pipe.params, f0, b0)
+    except Exception as e:  # keep later stages alive (e.g. post-e2e OOM)
+        _log(f"[pose-only for stage breakdowns] FAILED: {type(e).__name__}: {e}")
+        kpts = jnp.zeros((T, 17, 3), jnp.float32)
 
     def _cfg3():
         sk = gcn_mod.normalize_skeleton(kpts[None], valid[None])
@@ -478,8 +528,8 @@ def worker_main(args):
             from golfaction_tpu.ops.pallas import softdtw_kernel as sdk
 
             rng = np.random.default_rng(0)
-            fr8 = frames_dev[0][:8]                   # 8 frames of clip 0
-            b8 = boxes_dev[0][:8]
+            fr8 = f0[:8]                   # 8 frames of clip 0
+            b8 = b0[:8]
             dt_x = _time_fn(jax.jit(
                 lambda: pp_mod.crop_resize_normalize(fr8, b8, cfg.pose.input_hw)))
             dt_p = _time_fn(jax.jit(

@@ -39,6 +39,33 @@ from golfaction_tpu.ops import affine, heatmap, preprocess, softdtw
 from golfaction_tpu.pipeline import video_io
 
 
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _write_clip_slot(buf, clip, i):
+    return jax.lax.dynamic_update_slice(
+        buf, clip[None], (i,) + (0,) * clip.ndim
+    )
+
+
+def assemble_clip_batch(clips: Sequence, n: int) -> jnp.ndarray:
+    """Stack same-shaped clips into an [n, ...] device batch, repeating the
+    last clip to fill the remaining slots.
+
+    Each real clip crosses host->device exactly once; pad slots are
+    device->device copies of the last clip's buffer.  The batch buffer is
+    written in place (donated dynamic_update_slice), so peak device memory
+    is batch + ONE clip — `jnp.stack` holds all inputs and the output alive
+    simultaneously, which at clip_batch=8 x 128-frame x 1080p uint8 is
+    2 x 6.4 GB and OOMs a 16 GB chip.
+    """
+    dev_clips = [jnp.asarray(c) for c in clips]
+    first = dev_clips[0]
+    buf = jnp.zeros((n,) + first.shape, first.dtype)
+    for i in range(n):
+        c = dev_clips[min(i, len(dev_clips) - 1)]
+        buf = _write_clip_slot(buf, c, i)
+    return buf
+
+
 class Pipeline:
     """Holds the four models + jitted stage programs.
 
@@ -444,18 +471,38 @@ class Pipeline:
         for tb, idxs in groups.items():
             for c0 in range(0, len(idxs), cb):
                 chunk = idxs[c0:c0 + cb]
-                fr = np.stack([prepared[i][0] for i in chunk])
-                bx = np.stack([prepared[i][1] for i in chunk])
-                vd = np.stack([prepared[i][2] for i in chunk])
-                if len(chunk) < cb:
-                    pad = cb - len(chunk)
-                    fr = np.concatenate([fr, np.repeat(fr[-1:], pad, 0)])
-                    bx = np.concatenate([bx, np.repeat(bx[-1:], pad, 0)])
-                    vd = np.concatenate([vd, np.repeat(vd[-1:], pad, 0)])
+                pad = cb - len(chunk)
+                if self.mesh is None:
+                    # One H2D transfer per real clip; the chunk-pad slots are
+                    # device-side copies of the last clip, so padding never
+                    # crosses the host->device link.  (Host-side np.repeat
+                    # re-sent the last clip `pad` times: with clip_batch=8 a
+                    # 2-clip call moved 4x the necessary bytes — minutes on a
+                    # tunneled/remote device, and wasted PCIe on any host.)
+                    fr = assemble_clip_batch(
+                        [prepared[i][0] for i in chunk], cb)
+                    bx = assemble_clip_batch(
+                        [prepared[i][1] for i in chunk], cb)
+                    vd_np = [prepared[i][2] for i in chunk]
+                    vd = np.stack(vd_np + [vd_np[-1]] * pad)
+                else:
+                    # Mesh path: keep one host array so pjit can scatter the
+                    # clip axis straight to its device shards.
+                    fr = np.stack([prepared[i][0] for i in chunk])
+                    bx = np.stack([prepared[i][1] for i in chunk])
+                    vd = np.stack([prepared[i][2] for i in chunk])
+                    if pad:
+                        fr = np.concatenate([fr, np.repeat(fr[-1:], pad, 0)])
+                        bx = np.concatenate([bx, np.repeat(bx[-1:], pad, 0)])
+                        vd = np.concatenate([vd, np.repeat(vd[-1:], pad, 0)])
+                    fr, bx = jnp.asarray(fr), jnp.asarray(bx)
                 out = self._core_batch(
-                    self.params, jnp.asarray(fr), jnp.asarray(bx),
-                    jnp.asarray(vd)
+                    self.params, fr, bx, jnp.asarray(vd)
                 )
+                # Drop the frame batch as soon as the program owns it: the
+                # next chunk's (possibly larger-bucket) batch must not
+                # coexist with this one on a 16 GB chip.
+                del fr, bx
                 if reference is not None:
                     a = self._align_batch(
                         self.params, out["keypoints"], jnp.asarray(vd),

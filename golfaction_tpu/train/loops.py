@@ -232,17 +232,36 @@ def train_pose(
     resume_from: str | None = None,
     checkpoint_tag: str | None = None,
     pool_clips: int = 0,
+    arm_weight: float = 1.0,
+    fast_frame_boost: float = 0.0,
+    pool_fault_prob: float | None = None,
 ):
     """Pose training.  pool_clips > 0 pre-renders that many clips ONCE and
     samples batches from the pool each step — rendering (host NumPy) is ~100x
-    slower than a TPU step, so the pool keeps the chip fed."""
+    slower than a TPU step, so the pool keeps the chip fed.
+
+    Arm-fidelity knobs (round-3: the pose front attenuated fast-arm fault
+    deflections to 0.14-0.52x, capping e2e error-detection F1 at 0.67 —
+    BASELINE.md):
+      arm_weight > 1 upweights elbow/wrist heatmap loss (joints 7-10);
+      fast_frame_boost > 0 oversamples pool frames by wrist travel (the
+        motion-blurred downswing frames are rare under uniform sampling,
+        so the net learns the canonical trajectory prior instead of
+        tracking the blurred arm);
+      pool_fault_prob overrides the pool's fault rate (faulty swings move
+        arms OFF the canonical path — image-trust supervision).
+    """
     model = pose_mod.create_pose_model(pose_cfg)
     tx = make_optimizer(train_cfg)
+
+    jw = np.ones(len(graph.COCO_KEYPOINTS), np.float32)
+    jw[[7, 8, 9, 10]] = arm_weight       # elbows + wrists
+    jw = jnp.asarray(jw)
 
     def loss_fn(params, batch):
         crops, targets, weights = batch
         pred = model.apply(params, crops)
-        return losses.heatmap_mse(pred, targets, weights), {}
+        return losses.heatmap_mse(pred, targets, weights * jw), {}
 
     step_fn = _make_step(loss_fn, tx)
     params = model.init(
@@ -254,12 +273,15 @@ def train_pose(
         # Half the pool is rendered with camera shake so estimated-box /
         # moving-camera crops are in-distribution.
         half = pool_clips // 2
+        fault_kw = {}
+        if pool_fault_prob is not None:
+            fault_kw = dict(fault_prob=pool_fault_prob, sev_range=(0.3, 1.0))
         pool = data_mod.make_swing_batch(
             pool_clips - half, frames_per_clip, seed=train_cfg.seed,
-            image_hw=image_hw, render=True,
+            image_hw=image_hw, render=True, **fault_kw,
         ) + data_mod.make_swing_batch(
             half, frames_per_clip, seed=train_cfg.seed + 50_000,
-            image_hw=image_hw, render=True, camera_jitter=0.02,
+            image_hw=image_hw, render=True, camera_jitter=0.02, **fault_kw,
         )
         jr = np.random.default_rng(train_cfg.seed + 31)
         pool_batches = [
@@ -274,6 +296,18 @@ def train_pose(
         n = crops.shape[0]
         per_step = clips_per_epoch * max(frames_per_clip // 4, 1)
 
+        # Sampling probabilities over pooled crops: uniform, optionally
+        # boosted toward high-wrist-travel (motion-blurred) frames.
+        travel = np.concatenate([
+            np.linalg.norm(
+                np.diff(s.keypoints[:, 9, :2], axis=0, prepend=s.keypoints[:1, 9, :2]),
+                axis=-1,
+            )
+            for s in pool
+        ])
+        p_sample = 1.0 + fast_frame_boost * travel / max(travel.max(), 1e-6)
+        p_sample /= p_sample.sum()
+
         # Horizontal-flip augmentation table: mirror the crop's W axis and
         # swap left/right joint channels (graph.FLIP_PAIRS).
         perm = np.arange(len(graph.COCO_KEYPOINTS))
@@ -283,7 +317,8 @@ def train_pose(
 
         def batch_fn(step):
             rng = np.random.default_rng(train_cfg.seed + 7919 * step)
-            idx = jnp.asarray(rng.choice(n, size=min(per_step, n), replace=False))
+            idx = jnp.asarray(rng.choice(n, size=min(per_step, n),
+                                         replace=False, p=p_sample))
             c, t, w = crops[idx], targets[idx], weights[idx]
             if rng.uniform() < 0.5:
                 k = c.shape[0] // 2  # flip the first half of the batch

@@ -89,6 +89,68 @@ def _wavefront_kernel(dskew_ref, rskew_ref, *, Ta: int, K: int, gamma: float):
     jax.lax.fori_loop(0, K, body, (inf_row, inf_row))
 
 
+def _backward_kernel(dskew_ref, rskew_ref, eskew_ref, *, Ta: int, K: int,
+                     gamma: float):
+    """Reverse wavefront (E-recursion) over one pair.
+
+    Same skewed diagonal-major layout as the forward kernel, walked in
+    descending k.  Cell (i, j=k-i) on diagonal k pulls from its successors:
+      down  (i+1, j)   = diag k+1, index i+1
+      right (i, j+1)   = diag k+1, index i
+      diag  (i+1, j+1) = diag k+2, index i+1
+    with weights exp((R[succ] - R[cur] - D[succ]) / gamma).  Out-of-band
+    successors (Dskew padding = +INF) get weight 0 via explicit masking —
+    the exponents are sanitized BEFORE exp so no INF-INF NaNs form.
+    """
+    zero_row = dskew_ref[0, pl.ds(0, 1), :] * 0.0
+    col_last = (jax.lax.broadcasted_iota(jnp.int32, (1, Ta), 1) == Ta - 1)
+
+    def unshift(x, fill):
+        # x[i] -> x[i+1]; x[Ta-1] -> fill.  pltpu.roll requires a
+        # non-negative shift: left-by-1 == right-by-(Ta-1).
+        return jnp.where(col_last, fill, pltpu.roll(x, Ta - 1, axis=1))
+
+    def row(ref, k):
+        kc = jnp.clip(k, 0, K - 1)
+        return ref[0, pl.ds(kc, 1), :]
+
+    def body(t, carry):
+        e1, e2 = carry  # E diagonals k+1 and k+2
+        k = K - 1 - t
+        dcur = row(dskew_ref, k)
+        r0 = row(rskew_ref, k)
+        rd = row(rskew_ref, k + 1)
+        dd = row(dskew_ref, k + 1)
+        rdd = row(rskew_ref, k + 2)
+        ddd = row(dskew_ref, k + 2)
+
+        in_k1 = k + 1 <= K - 1
+        in_k2 = k + 2 <= K - 1
+        # Successor validity: the successor cell itself must be in-band.
+        va = in_k1 & (unshift(dd, _INF) < _INF)     # down
+        vb = in_k1 & (dd < _INF)                    # right
+        vc = in_k2 & (unshift(ddd, _INF) < _INF)    # diag
+        r0s = jnp.where(r0 < _INF, r0, 0.0)
+
+        def w(valid, r_succ, d_succ):
+            expo = (jnp.where(valid, r_succ, 0.0) - r0s
+                    - jnp.where(valid, d_succ, 0.0)) / gamma
+            return jnp.exp(jnp.where(valid, expo, -_INF))
+
+        e0 = (
+            w(va, unshift(rd, 0.0), unshift(dd, 0.0)) * unshift(e1, 0.0)
+            + w(vb, rd, dd) * e1
+            + w(vc, unshift(rdd, 0.0), unshift(ddd, 0.0)) * unshift(e2, 0.0)
+        )
+        # Seed: E[Ta-1, Tb-1] = 1 (its own diagonal k = K-1).
+        e0 = jnp.where(col_last & (k == K - 1), 1.0, e0)
+        e0 = jnp.where(dcur < _INF, e0, 0.0)
+        eskew_ref[0, pl.ds(jnp.clip(k, 0, K - 1), 1), :] = e0
+        return (e0, e1)
+
+    jax.lax.fori_loop(0, K, body, (zero_row, zero_row))
+
+
 def _auto_interpret(interpret) -> bool:
     """Pallas TPU kernels run compiled on TPU, interpreted elsewhere (CPU CI)."""
     if interpret is None:
@@ -105,6 +167,12 @@ _VMEM_BUDGET_BYTES = 12 * 1024 * 1024
 def fits_vmem(Ta: int, Tb: int) -> bool:
     K = Ta + Tb - 1
     return 2 * K * Ta * 4 <= _VMEM_BUDGET_BYTES
+
+
+def fits_vmem_bwd(Ta: int, Tb: int) -> bool:
+    # Backward holds three skewed tables (D, R in; E out).
+    K = Ta + Tb - 1
+    return 3 * K * Ta * 4 <= _VMEM_BUDGET_BYTES
 
 
 def _wavefront_batch(Dskew: jnp.ndarray, gamma: float, interpret=None):
@@ -129,6 +197,49 @@ def _wavefront_batch_jit(Dskew: jnp.ndarray, gamma: float, interpret: bool):
     )(Dskew.astype(jnp.float32))
 
 
+def _backward_batch(Dskew, Rskew, gamma: float, interpret=None):
+    return _backward_batch_jit(Dskew, Rskew, gamma, _auto_interpret(interpret))
+
+
+@functools.partial(jax.jit, static_argnames=("gamma", "interpret"))
+def _backward_batch_jit(Dskew, Rskew, gamma: float, interpret: bool):
+    """(Dskew, Rskew) [B, K, Ta] -> Eskew [B, K, Ta] (skewed E matrix)."""
+    B, K, Ta = Dskew.shape
+    spec = pl.BlockSpec((1, K, Ta), lambda b: (b, 0, 0),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_backward_kernel, Ta=Ta, K=K, gamma=gamma),
+        grid=(B,),
+        in_specs=[spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((B, K, Ta), jnp.float32),
+        interpret=interpret,
+    )(Dskew.astype(jnp.float32), Rskew.astype(jnp.float32))
+
+
+def softdtw_alignment_pallas(D: jnp.ndarray, gamma: float, interpret=None):
+    """Batched soft alignment: D [B, Ta, Tb] -> (cost [B], E [B, Ta, Tb]).
+
+    Forward AND backward (E-recursion) run as single-invocation Pallas
+    wavefront kernels — the vmapped lax.scan E-recursion compiles
+    pathologically slowly at batch on TPU (the round-2 forward-kernel
+    motivation, which applied equally to training's backward pass).
+    Falls back to the scan pair when the tables exceed VMEM.
+    """
+    B, Ta, Tb = D.shape
+    if not fits_vmem_bwd(Ta, Tb):
+        from golfaction_tpu.ops import softdtw as sdtw
+
+        R = jax.vmap(lambda d: sdtw._forward_scan(d, gamma))(D)
+        E = jax.vmap(lambda d, r: sdtw._backward_scan(d, r, gamma))(D, R)
+        return R[:, -1, -1], E
+    Dskew = skew(D)
+    Rskew = _wavefront_batch(Dskew, gamma, interpret)
+    Eskew = _backward_batch(Dskew, Rskew, gamma, interpret)
+    cost = unskew(Rskew, Ta, Tb)[:, -1, -1]
+    return cost, unskew(Eskew, Ta, Tb)
+
+
 def softdtw_table_pallas(D: jnp.ndarray, gamma: float, interpret=None):
     """Batched forward: D [B, Ta, Tb] -> (cost [B], R [B, Ta, Tb]).
 
@@ -150,8 +261,8 @@ def softdtw_table_pallas(D: jnp.ndarray, gamma: float, interpret=None):
 def softdtw_cost_pallas(D: jnp.ndarray, gamma: float, interpret=None):
     """Batched soft-DTW cost via the Pallas wavefront.  D [B, Ta, Tb] -> [B].
 
-    Differentiable: backward uses the XLA E-recursion (ops.softdtw) fed by
-    the Pallas-computed table.
+    Differentiable: backward is the Pallas reverse-wavefront E-recursion
+    when the tables fit VMEM, else the vmapped lax.scan E-recursion.
     """
     cost, _ = softdtw_table_pallas(D, gamma, interpret)
     return cost
@@ -163,10 +274,17 @@ def _cost_fwd(D, gamma, interpret):
 
 
 def _cost_bwd(gamma, interpret, res, g):
-    from golfaction_tpu.ops import softdtw as sdtw
-
     D, R = res
-    E = jax.vmap(lambda d, r: sdtw._backward_scan(d, r, gamma))(D, R)
+    B, Ta, Tb = D.shape
+    if fits_vmem_bwd(Ta, Tb):
+        # skew() pads out-of-band cells with +INF — exactly the forward
+        # kernel's out-of-band convention for both D and R.
+        Eskew = _backward_batch(skew(D), skew(R), gamma, interpret)
+        E = unskew(Eskew, Ta, Tb)
+    else:
+        from golfaction_tpu.ops import softdtw as sdtw
+
+        E = jax.vmap(lambda d, r: sdtw._backward_scan(d, r, gamma))(D, R)
     return (g[:, None, None] * E,)
 
 

@@ -106,3 +106,46 @@ def test_masked_cost_matches_trimmed_oracle():
             np.asarray(D[k])[: la[k], : lb[k]], 0.1
         )
         np.testing.assert_allclose(float(got[k]), ref, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("ta,tb", [(6, 6), (5, 12), (12, 5)])
+def test_backward_kernel_matches_scan_E(ta, tb):
+    """Pallas reverse-wavefront E vs the scan E-recursion, batched."""
+    rng = np.random.default_rng(100 + ta * tb)
+    D = _rand_D(rng, 3, ta, tb)
+    cost, E = pk.softdtw_alignment_pallas(D, 0.1)
+    for k in range(3):
+        R = softdtw._forward_scan(D[k], 0.1)
+        E_ref = softdtw._backward_scan(D[k], R, 0.1)
+        np.testing.assert_allclose(
+            np.asarray(E[k]), np.asarray(E_ref), rtol=1e-4, atol=1e-5
+        )
+        np.testing.assert_allclose(float(cost[k]), float(R[-1, -1]),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_backward_kernel_grad_vs_oracle():
+    """jax.grad through softdtw_cost_pallas (Pallas fwd+bwd) vs numerical
+    gradient of the NumPy oracle on a tiny problem."""
+    rng = np.random.default_rng(7)
+    D = _rand_D(rng, 1, 4, 5)
+    gamma = 0.2
+    g = jax.grad(lambda d: pk.softdtw_cost_pallas(d, gamma).sum())(D)
+    Dn = np.asarray(D[0], np.float64)
+    eps = 1e-4
+    g_num = np.zeros_like(Dn)
+    for i in range(Dn.shape[0]):
+        for j in range(Dn.shape[1]):
+            dp, dm = Dn.copy(), Dn.copy()
+            dp[i, j] += eps
+            dm[i, j] -= eps
+            cp, _ = softdtw.softdtw_reference(dp, gamma)
+            cm, _ = softdtw.softdtw_reference(dm, gamma)
+            g_num[i, j] = (cp - cm) / (2 * eps)
+    np.testing.assert_allclose(np.asarray(g[0]), g_num, rtol=1e-3, atol=1e-4)
+
+
+def test_backward_kernel_large_falls_back():
+    """Beyond the bwd VMEM budget the alignment path uses the scan pair."""
+    assert not pk.fits_vmem_bwd(1024, 1024)
+    assert pk.fits_vmem_bwd(128, 128)

@@ -267,6 +267,18 @@ def render_frames(
 # body, a golf club distractor, lighting jitter, motion blur on fast frames,
 # and optional camera shake.  The model must learn body *structure*.
 
+# Scene families (cross-domain generalization protocol, VERDICT r2 #6):
+#   0 outdoor (sky/grass/trees)   1 indoor range (wall/floor/mat)
+#   2 real-photo composite        3 dusk (warm cast, vignette, striped shirt)
+# From round 3 on, training renders draw ONLY from TRAIN_SCENE_FAMILIES;
+# family 2 is held out of ALL training (incl. cascade adaptation) and
+# family 3 exists only for eval — e2e metrics on 2/3 therefore measure
+# transfer to scene statistics the models have never seen.
+TRAIN_SCENE_FAMILIES = (0, 1)
+HELDOUT_SCENE_FAMILY = 2
+EVAL_ONLY_SCENE_FAMILY = 3
+ALL_SCENE_FAMILIES = (0, 1, 2, 3)
+
 _SKIN_TONES = ((242, 206, 176), (224, 177, 132), (198, 134, 94),
                (141, 85, 56), (96, 57, 36))
 _SHIRT_COLORS = ((200, 40, 40), (40, 90, 200), (240, 240, 240), (30, 30, 34),
@@ -304,12 +316,17 @@ def _value_noise(rng: np.random.Generator, hw, cells=8, lo=0.0, hi=1.0):
     return cv2.resize(g, (W, H), interpolation=cv2.INTER_CUBIC)
 
 
-def _make_background(rng: np.random.Generator, hw) -> np.ndarray:
-    """One background scene [H, W, 3] float32 (0..255)."""
+def _make_background(rng: np.random.Generator, hw,
+                     family: Optional[int] = None) -> np.ndarray:
+    """One background scene [H, W, 3] float32 (0..255).
+
+    family: scene family index (see TRAIN_SCENE_FAMILIES above); None draws
+    uniformly from families 0-2 (the pre-round-3 behavior, identical RNG
+    stream)."""
     import cv2
 
     H, W = hw
-    kind = rng.integers(0, 3)
+    kind = int(family) if family is not None else int(rng.integers(0, 3))
     bg = np.zeros((H, W, 3), np.float32)
     if kind == 0:  # outdoor: sky gradient over textured grass + tree blobs
         horizon = int(H * rng.uniform(0.25, 0.55))
@@ -339,6 +356,30 @@ def _make_background(rng: np.random.Generator, hw) -> np.ndarray:
         cv2.rectangle(bg, (x0, floor_y), (x0 + int(W * 0.35), H),
                       (rng.uniform(40, 90), rng.uniform(90, 140),
                        rng.uniform(40, 90)), -1)
+    elif kind == 3:  # dusk: low sun, warm sky bands, dark textured ground
+        horizon = int(H * rng.uniform(0.35, 0.6))
+        # banded sunset sky: orange near the horizon fading to purple above
+        top = np.array([rng.uniform(60, 100), rng.uniform(40, 70),
+                        rng.uniform(100, 140)])          # purple
+        bot = np.array([rng.uniform(220, 250), rng.uniform(120, 160),
+                        rng.uniform(50, 90)])            # orange
+        ramp = np.linspace(0, 1, max(horizon, 1))[:, None, None]
+        bg[:horizon] = top + (bot - top) * ramp
+        # sun disk just above the horizon
+        sx = int(W * rng.uniform(0.1, 0.9))
+        sy = horizon - int(H * rng.uniform(0.02, 0.12))
+        cv2.circle(bg, (sx, sy), int(H * rng.uniform(0.03, 0.06)),
+                   (255, 220, 160), -1, cv2.LINE_AA)
+        ground = np.array([rng.uniform(30, 55), rng.uniform(35, 60),
+                           rng.uniform(25, 45)])         # dim dusk grass
+        bg[horizon:] = ground
+        tex = _value_noise(rng, (H - horizon, W), cells=20, lo=0.7, hi=1.3)
+        bg[horizon:] *= tex[..., None]
+        for _ in range(rng.integers(1, 4)):  # tree silhouettes
+            cx = rng.integers(0, W)
+            r = int(rng.uniform(0.04, 0.12) * H)
+            cv2.circle(bg, (int(cx), horizon - r // 2), r,
+                       (15, 12, 20), -1, cv2.LINE_AA)
     else:  # cluttered real-photo composite (blurred, exposure-shifted)
         photos = _real_photos()
         if photos:
@@ -401,6 +442,16 @@ def _draw_golfer(canvas: np.ndarray, kp: np.ndarray, look: dict,
         kp[12] + (kp[12] - kp[11]) * 0.22, kp[11] + (kp[11] - kp[12]) * 0.22,
     ]).astype(np.int32)
     cv2.fillConvexPoly(canvas, quad, shirt, cv2.LINE_AA)
+    stripes = look.get("shirt_stripes")
+    if stripes is not None:  # textured clothing (eval-only dusk family)
+        mask = np.zeros(canvas.shape[:2], np.uint8)
+        cv2.fillConvexPoly(mask, quad, 1)
+        period = max(int(0.18 * scale), 2)
+        y0, y1 = int(quad[:, 1].min()), int(quad[:, 1].max())
+        band = np.zeros_like(mask)
+        for y in range(y0, y1 + 1, 2 * period):
+            band[max(y, 0): max(y + period, 0)] = 1
+        canvas[(mask & band) > 0] = stripes
     # arms
     capsule(kp[6], kp[8], 0.10 * scale, _shade(shirt, dark))
     capsule(kp[8], kp[10], 0.08 * scale, _shade(skin, dark))
@@ -444,12 +495,17 @@ def render_frames_photo(
     rng: Optional[np.random.Generator] = None,
     camera_jitter: float = 0.0,
     occluder_prob: float = 0.5,
+    scene_family: Optional[int] = None,
 ) -> SwingSample:
     """Adversarial photo-style rendering (see module comment above).
 
     camera_jitter: camera-shake amplitude as a fraction of image height
     (smooth random walk applied to the whole scene; ground-truth keypoints
     and boxes move with it — the moving-camera regime for box tracking).
+    scene_family: force one scene family (see TRAIN_SCENE_FAMILIES); None
+    draws from families 0-2 as before.  Family 3 (dusk) additionally gets
+    a striped shirt, a warm color cast, and a vignette — appearance
+    statistics absent from every training family.
     Returns the sample with frames AND keypoints/boxes updated to the
     jittered positions.
     """
@@ -458,6 +514,7 @@ def render_frames_photo(
     rng = rng or np.random.default_rng(0)
     H, W = image_hw
     T = sample.keypoints.shape[0]
+    dusk = scene_family == EVAL_ONLY_SCENE_FAMILY
 
     look = dict(
         skin=tuple(float(c) for c in _SKIN_TONES[rng.integers(len(_SKIN_TONES))]),
@@ -470,8 +527,11 @@ def render_frames_photo(
         side_shade=float(rng.uniform(0.70, 0.85)),
         club_len=float(rng.uniform(1.2, 1.7)),
     )
+    if dusk:
+        look["shirt_stripes"] = tuple(
+            float(c) for c in _SHIRT_COLORS[rng.integers(len(_SHIRT_COLORS))])
 
-    bg = _make_background(rng, image_hw)
+    bg = _make_background(rng, image_hw, scene_family)
 
     # occluders: drawn OVER the golfer (poles / bags), static per clip
     occluders = []
@@ -506,6 +566,12 @@ def render_frames_photo(
     kpts_out = sample.keypoints.copy()
     frames = np.empty((T, H, W, 3), np.uint8)
     gain_t = 1.0 + 0.04 * _value_noise(rng, (1, T), cells=4, lo=-1, hi=1)[0]
+    if dusk:  # golden-hour color cast + lens vignette, constant per clip
+        cast = np.array([rng.uniform(1.05, 1.2), rng.uniform(0.9, 1.0),
+                         rng.uniform(0.65, 0.85)], np.float32)
+        yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+        r2 = (((xx - W / 2) / (W / 2)) ** 2 + ((yy - H / 2) / (H / 2)) ** 2)
+        vignette = (1.0 - float(rng.uniform(0.25, 0.45)) * r2 / 2)[..., None]
     blur_thresh = 0.12 * H  # wrist travel/frame above this gets motion blur
     for t in range(T):
         off = shake[t]
@@ -539,6 +605,8 @@ def render_frames_photo(
                 cv2.circle(canvas, (int(cx + off[0]), int(cy + off[1])), r,
                            col, -1, cv2.LINE_AA)
         canvas *= gain_t[t]
+        if dusk:
+            canvas = canvas * cast * vignette
         frames[t] = np.clip(canvas, 0, 255).astype(np.uint8)
 
     # recompute boxes from the jittered keypoints
@@ -560,6 +628,7 @@ def make_fault_balanced_batch(
     render: bool = False,
     sev_range: tuple[float, float] = (0.6, 1.0),
     clean: Optional[int] = None,
+    scene_families: Optional[tuple] = None,
 ) -> list[SwingSample]:
     """Stratified eval/calibration set: `per_fault` single-fault clips for
     EVERY fault plus `clean` fault-free clips.
@@ -586,7 +655,9 @@ def make_fault_balanced_batch(
             s = place_in_image(s, image_hw,
                                person_height_px=0.65 * image_hw[0], rng=rng)
             if render:
-                s = render_frames_photo(s, image_hw, rng=rng)
+                fam = (int(rng.choice(scene_families))
+                       if scene_families is not None else None)
+                s = render_frames_photo(s, image_hw, rng=rng, scene_family=fam)
         out.append(s)
     return out
 
@@ -616,12 +687,15 @@ def make_swing_batch(
     render_style: str = "photo",
     camera_jitter: float = 0.0,
     sev_range: tuple[float, float] = (0.6, 1.0),
+    scene_families: Optional[tuple] = None,
 ) -> list[SwingSample]:
     """Batch of varied swings (tempo, style, faults); optionally rendered.
 
     render_style: "photo" (adversarial photo-style scenes — the training
     default) or "blob" (the simple bright-marker renderer, kept for cheap
     motion-energy fixtures).  camera_jitter only applies to "photo".
+    scene_families: restrict photo scenes to these families (training must
+    pass TRAIN_SCENE_FAMILIES — cross-domain holdout); None = families 0-2.
     sev_range: fault severity draw; training streams widen the lower end
     (e.g. 0.3) because the pose front ATTENUATES fault deflections
     per-joint (measured: hips pass only ~0.43x of a hanging_back shift),
@@ -644,8 +718,11 @@ def make_swing_batch(
             s = place_in_image(s, image_hw, person_height_px=0.65 * image_hw[0], rng=rng)
             if render:
                 if render_style == "photo":
+                    fam = (int(rng.choice(scene_families))
+                           if scene_families is not None else None)
                     s = render_frames_photo(s, image_hw, rng=rng,
-                                            camera_jitter=camera_jitter)
+                                            camera_jitter=camera_jitter,
+                                            scene_family=fam)
                 else:
                     s = render_frames(s, image_hw, joint_radius=max(3.0, 0.01 * image_hw[0]), rng=rng)
         out.append(s)

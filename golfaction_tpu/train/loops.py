@@ -256,6 +256,9 @@ def train_pose(
 
     jw = np.ones(len(graph.COCO_KEYPOINTS), np.float32)
     jw[[7, 8, 9, 10]] = arm_weight       # elbows + wrists
+    # Hips at half the arm boost: the probe shows hip-fault deflections
+    # (early_extension 0.20, hanging_back 0.44) also under-transfer.
+    jw[[11, 12]] = 1.0 + 0.5 * (arm_weight - 1.0)
     jw = jnp.asarray(jw)
 
     def loss_fn(params, batch):
@@ -278,10 +281,12 @@ def train_pose(
             fault_kw = dict(fault_prob=pool_fault_prob, sev_range=(0.3, 1.0))
         pool = data_mod.make_swing_batch(
             pool_clips - half, frames_per_clip, seed=train_cfg.seed,
-            image_hw=image_hw, render=True, **fault_kw,
+            image_hw=image_hw, render=True,
+            scene_families=data_mod.TRAIN_SCENE_FAMILIES, **fault_kw,
         ) + data_mod.make_swing_batch(
             half, frames_per_clip, seed=train_cfg.seed + 50_000,
-            image_hw=image_hw, render=True, camera_jitter=0.02, **fault_kw,
+            image_hw=image_hw, render=True, camera_jitter=0.02,
+            scene_families=data_mod.TRAIN_SCENE_FAMILIES, **fault_kw,
         )
         jr = np.random.default_rng(train_cfg.seed + 31)
         pool_batches = [
@@ -331,6 +336,7 @@ def train_pose(
             samples = data_mod.make_swing_batch(
                 clips_per_epoch, frames_per_clip, seed=train_cfg.seed + step,
                 image_hw=image_hw, render=True,
+                scene_families=data_mod.TRAIN_SCENE_FAMILIES,
             )
             return build_pose_batch(samples, pose_cfg)
 
@@ -395,7 +401,7 @@ def train_align(
         vb = jnp.ones(sk_b.shape[:2], bool)
         ea = model.apply(params, sk_a, va)
         eb = model.apply(params, sk_b, vb)
-        div = losses.softdtw_divergence_batch(ea, eb, align_cfg.gamma).mean()
+        div = losses.softdtw_divergence_batched(ea, eb, align_cfg.gamma).mean()
         tcc = losses.alignment_contrastive_batch(ea, eb, prog_a, prog_b).mean()
         return div + 10.0 * tcc, {"sdtw_div": div, "tcc": tcc}
 

@@ -64,6 +64,33 @@ def softdtw_divergence(emb_a, emb_b, gamma: float):
 softdtw_divergence_batch = jax.vmap(softdtw_divergence, in_axes=(0, 0, None))
 
 
+def softdtw_divergence_batched(emb_a, emb_b, gamma: float, use_pallas=None):
+    """Batched soft-DTW divergence with a TPU fast path.  emb [B, T, D].
+
+    On TPU the three cost evaluations (ab, aa, bb) run as ONE batched
+    Pallas wavefront launch, with the reverse-wavefront E-recursion kernel
+    as the custom VJP — the vmapped `lax.scan` E-recursion that
+    `softdtw_divergence_batch` differentiates through compiles
+    pathologically slowly at batch on TPU (measured in
+    `scripts/softdtw_bwd_bench.py`; BASELINE.md round 3).  Elsewhere (CPU
+    CI) the scan path is used — same math, parity-tested in
+    tests/test_pallas_softdtw.py.
+    """
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if not use_pallas:
+        return softdtw_divergence_batch(emb_a, emb_b, gamma)
+    from golfaction_tpu.ops.pallas import softdtw_kernel as sk
+
+    Dab = jax.vmap(softdtw.pairwise_sqdist)(emb_a, emb_b)
+    Daa = jax.vmap(softdtw.pairwise_sqdist)(emb_a, emb_a)
+    Dbb = jax.vmap(softdtw.pairwise_sqdist)(emb_b, emb_b)
+    D = jnp.concatenate([Dab, Daa, Dbb], axis=0)
+    cost = sk.softdtw_cost_pallas(D, gamma)
+    B = emb_a.shape[0]
+    return cost[:B] - 0.5 * (cost[B : 2 * B] + cost[2 * B :])
+
+
 def alignment_contrastive(emb_a, emb_b, progress_a, progress_b, temperature=0.1):
     """Auxiliary alignment loss: frames close in swing *progress* should have
     close embeddings across videos (regression-to-progress contrastive, in

@@ -50,9 +50,11 @@ def main():
     T = args.frames
     cal = data.make_fault_balanced_batch(
         args.per_fault, T, seed=580_000, image_hw=tuple(args.hw),
-        render=True, clean=2 * args.per_fault)
+        render=True, clean=2 * args.per_fault,
+        scene_families=data.TRAIN_SCENE_FAMILIES)
     ref_cal = data.make_swing_batch(1, T, seed=581_000,
                                     image_hw=tuple(args.hw), render=True,
+                                    scene_families=data.TRAIN_SCENE_FAMILIES,
                                     fault_prob=0.0)[0]
     ref_skel = pipe.extract_skeleton(pipe.analyze(ref_cal.frames))
     log(f"calibrating on {len(cal)} stratified clips x 2 modes ...")

@@ -70,7 +70,8 @@ def main():
     T = args.frames
     samples = data.make_swing_batch(args.clips, T, seed=550_000,
                                     image_hw=tuple(args.hw), render=True,
-                                    fault_prob=0.5)
+                                    fault_prob=0.5,
+                                    scene_families=data.TRAIN_SCENE_FAMILIES)
     from golfaction_tpu.pipeline import video_io
     from golfaction_tpu.ops import affine
 
@@ -280,10 +281,12 @@ def main():
     pipe.params = dict(pipe.params, gcn=gparams, error=eparams)
     cal = data.make_fault_balanced_batch(
         args.calib_clips, T, seed=580_000, image_hw=tuple(args.hw),
-        render=True, clean=2 * args.calib_clips)
+        render=True, clean=2 * args.calib_clips,
+        scene_families=data.TRAIN_SCENE_FAMILIES)
     ref_cal = data.make_swing_batch(1, T, seed=581_000,
                                     image_hw=tuple(args.hw), render=True,
-                                    fault_prob=0.0)[0]
+                                    fault_prob=0.0,
+                                    scene_families=data.TRAIN_SCENE_FAMILIES)[0]
     ref_skel = pipe.extract_skeleton(pipe.analyze(ref_cal.frames))
     probs, truth = [], []
     for s in cal:

@@ -31,6 +31,9 @@ def main():
     ap.add_argument("--clips", type=int, default=8)
     ap.add_argument("--frames", type=int, default=48)
     ap.add_argument("--hw", type=int, nargs=2, default=(540, 960))
+    ap.add_argument("--domain-clips", type=int, default=6,
+                    help="clips per held-out scene family for the "
+                         "cross-domain generalization eval (0 disables)")
     ap.add_argument("--jitter-clips", type=int, default=6,
                     help="extra camera-shake clips scoring motion-energy "
                          "boxes vs keypoint-refined boxes (0 disables)")
@@ -131,6 +134,44 @@ def main():
         "align_progress_err_mean": float(np.mean(prog_errs)),
         "comparison_video": video_path,
     }
+
+    # ---- cross-domain eval: scene families held out of ALL training ----
+    # Family 2 (real-photo composite) is excluded from every training
+    # render from round 3 on (train/data.py TRAIN_SCENE_FAMILIES); family 3
+    # (dusk lighting + striped shirt + warm cast + vignette) exists only
+    # for eval.  Scores on them measure transfer to scene statistics the
+    # models have never seen (VERDICT r2 #6; reference README.md:4-6 demos
+    # real footage, the strongest proxy this zero-egress sandbox allows).
+    if args.domain_clips > 0:
+        summary["unseen_domain"] = {}
+        for fam, name in ((data.HELDOUT_SCENE_FAMILY, "photo_composite"),
+                          (data.EVAL_ONLY_SCENE_FAMILY, "dusk")):
+            dom = data.make_swing_batch(
+                args.domain_clips, args.frames, seed=994_000 + fam,
+                image_hw=hw, render=True, fault_prob=0.5,
+                scene_families=(fam,))
+            dpck, dacc, df1 = [], [], []
+            for s in dom:
+                res = pipe.analyze(s.frames)
+                kp = np.asarray(res.keypoints)[: args.frames]
+                bbox = np.maximum(s.boxes[:, 2], s.boxes[:, 3])
+                dpck.append(float(metrics.pck(
+                    jnp.asarray(kp), jnp.asarray(s.keypoints),
+                    jnp.asarray(bbox), alpha=0.05)))
+                pl = np.asarray(res.phase_labels)[: args.frames]
+                dacc.append(float(metrics.phase_accuracy(
+                    jnp.asarray(pl), jnp.asarray(s.phase_labels))))
+                df1.append(float(metrics.phase_f1(
+                    jnp.asarray(pl), jnp.asarray(s.phase_labels),
+                    cfg_mod.NUM_PHASES)))
+            summary["unseen_domain"][name] = {
+                "clips": args.domain_clips,
+                "pck05_mean": float(np.mean(dpck)),
+                "phase_acc_mean": float(np.mean(dacc)),
+                "phase_f1_mean": float(np.mean(df1)),
+            }
+            log(f"[domain:{name}] PCK {np.mean(dpck):.4f} "
+                f"phase acc {np.mean(dacc):.4f} F1 {np.mean(df1):.4f}")
 
     # ---- moving-camera eval: motion-energy vs keypoint-refined boxes ----
     # Proves the box_refine_stride path (keypoint-seeded tracking): with

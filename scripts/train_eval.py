@@ -38,6 +38,16 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--eval-only", action="store_true",
                     help="skip training; evaluate latest checkpoints in --out")
+    ap.add_argument("--arm-weight", type=float, default=3.0,
+                    help="pose loss upweight for elbows/wrists (hips at "
+                         "half the boost) — arm-fidelity intervention")
+    ap.add_argument("--fast-frame-boost", type=float, default=3.0,
+                    help="oversampling boost for high-wrist-travel "
+                         "(motion-blurred) pool frames")
+    ap.add_argument("--pool-fault-prob", type=float, default=0.5,
+                    help="fault rate in the pose render pool (faulty arms "
+                         "leave the canonical trajectory — image-trust "
+                         "supervision)")
     args = ap.parse_args()
 
     import jax
@@ -187,7 +197,9 @@ def main():
             state, hist = loops.train_pose(
                 pose_cfg, pose_tc, image_hw=(540, 960), clips_per_epoch=8,
                 frames_per_clip=8, log_every=max(pose_steps // 10, 1),
-                pool_clips=160)
+                pool_clips=160, arm_weight=args.arm_weight,
+                fast_frame_boost=args.fast_frame_boost,
+                pool_fault_prob=args.pool_fault_prob)
             ck = checkpoint.save_params(f"{args.out}/params/pose", state.params,
                                         step=state.step)
         # Eval PCK@0.05 through the full preprocess->pose->decode path.
@@ -195,7 +207,8 @@ def main():
 
         model = pose_mod.create_pose_model(pose_cfg)
         samples = data.make_swing_batch(4, 8, seed=780_000,
-                                        image_hw=(540, 960), render=True)
+                                        image_hw=(540, 960), render=True,
+                                        scene_families=data.TRAIN_SCENE_FAMILIES)
         pcks = []
         fwd = jax.jit(lambda p, x: model.apply(p, x))
         for s in samples:

@@ -43,7 +43,7 @@ def _layers(cfg: PoseConfig):
         for b in range(blocks):
             stride = 2 if (b == 0 and i > 0) else 1
             layers.append(dict(kind="resblock", name=f"ResBlock_{bi}",
-                               ch=ch, stride=stride))
+                               ch=ch, stride=stride, stage=i))
             bi += 1
     backbone_stride = 4 * 2 ** (len(cfg.stage_blocks) - 1)
     n_deconv = len(cfg.deconv_channels)
@@ -239,6 +239,72 @@ def pose_forward_int8(params, qweights, scales, cfg: PoseConfig, x):
 
     # Final 1x1 projection stays float (17 output channels — negligible).
     x = nn.Conv(cfg.num_joints, (1, 1)).apply({"params": p["Conv_1"]}, x)
+    return jnp.transpose(x, (0, 3, 1, 2)).astype(jnp.float32)
+
+
+def pose_forward_int8_mixed(params, qweights, scales, cfg: PoseConfig, x,
+                            int8_stages: int = 2):
+    """int8 early stages + bf16 tail (VERDICT r2 #5: settle int8).
+
+    Round-2 measurement: whole-net unfused int8 is only 1.06x float — the
+    int8 win on the large early blocks (most FLOPs, MXU-saturating shapes)
+    is eaten by dequant/requant glue on the many small late blocks.  This
+    variant quantizes the stem + the first `int8_stages` resblock stages
+    (stride-4/8 feature maps where an int8 conv's 2.2x mat-unit rate
+    actually materializes) and runs the late stages, deconv head, and
+    final 1x1 in production bf16, mirroring models.pose.PoseNet exactly.
+    """
+    p = params["params"]
+    dt = jnp.bfloat16
+
+    x = x.astype(jnp.float32)
+    y = _conv_i8(x, scales["Conv_0"], qweights["Conv_0"], stride=2)
+    y = _gn(64, dt).apply({"params": p["GroupNorm_0"]}, y)
+    x = nn.max_pool(nn.relu(y), (3, 3), strides=(2, 2), padding="SAME")
+
+    for layer in _layers(cfg):
+        if layer["kind"] != "resblock":
+            continue
+        name, ch, stride = layer["name"], layer["ch"], layer["stride"]
+        bp = p[name]
+        residual = x
+        if layer["stage"] < int8_stages:       # int8 body
+            qb = qweights[name]
+            y = _conv_i8(x, scales[f"{name}/Conv_0"], qb["Conv_0"], stride)
+            y = nn.relu(_gn(ch, dt).apply({"params": bp["GroupNorm_0"]}, y))
+            y = _conv_i8(y, scales[f"{name}/Conv_1"], qb["Conv_1"])
+            y = _gn(ch, dt).apply({"params": bp["GroupNorm_1"]}, y)
+            if "Conv_2" in qb:
+                residual = _conv_i8(residual, scales[f"{name}/Conv_2"],
+                                    qb["Conv_2"], stride)
+                residual = _gn(ch, dt).apply({"params": bp["GroupNorm_2"]},
+                                             residual)
+        else:                                   # bf16 body (PoseNet-exact)
+            x16 = x.astype(dt)
+            y = nn.Conv(ch, (3, 3), strides=(stride, stride), padding="SAME",
+                        use_bias=False, dtype=dt).apply(
+                {"params": bp["Conv_0"]}, x16)
+            y = nn.relu(_gn(ch, dt).apply({"params": bp["GroupNorm_0"]}, y))
+            y = nn.Conv(ch, (3, 3), padding="SAME", use_bias=False,
+                        dtype=dt).apply({"params": bp["Conv_1"]}, y)
+            y = _gn(ch, dt).apply({"params": bp["GroupNorm_1"]}, y)
+            if "Conv_2" in bp:
+                residual = nn.Conv(ch, (1, 1), strides=(stride, stride),
+                                   use_bias=False, dtype=dt).apply(
+                    {"params": bp["Conv_2"]}, x16)
+                residual = _gn(ch, dt).apply({"params": bp["GroupNorm_2"]},
+                                             residual)
+        x = nn.relu(y.astype(dt) + residual.astype(dt))
+
+    for layer in _layers(cfg):
+        if layer["kind"] != "deconv":
+            continue
+        x = nn.ConvTranspose(layer["ch"], (4, 4), strides=(2, 2),
+                             padding="SAME", use_bias=False, dtype=dt).apply(
+            {"params": p[layer["name"]]}, x)
+        x = nn.relu(_gn(layer["ch"], dt).apply({"params": p[layer["gn"]]}, x))
+
+    x = nn.Conv(cfg.num_joints, (1, 1), dtype=dt).apply({"params": p["Conv_1"]}, x)
     return jnp.transpose(x, (0, 3, 1, 2)).astype(jnp.float32)
 
 

@@ -85,11 +85,21 @@ def main():
         bbox = jnp.maximum(eval_boxes[:, 2], eval_boxes[:, 3])
         return float(metrics.pck(img, jnp.asarray(gt_kpts), bbox, alpha=0.05))
 
+    # Mixed: int8 early stages (large MXU-saturating blocks), bf16 tail
+    # (VERDICT r2 #5 — find the winning granularity or retire).
+    mixed = {
+        k: jax.jit(lambda p, x, k=k: pose_quant.pose_forward_int8_mixed(
+            p, qw, scales, cfg, x, int8_stages=k))
+        for k in (1, 2, 3)
+    }
+
     hm_f = f_float(params, eval_crops)
     hm_q = f_int8(params, eval_crops)
     hm_u = f_fused(params, eval_crops)
     pck_f, pck_q, pck_u = pck_of(hm_f), pck_of(hm_q), pck_of(hm_u)
-    log(f"PCK@0.05 float={pck_f:.4f} int8={pck_q:.4f} int8-fused={pck_u:.4f}")
+    pck_m = {k: pck_of(f(params, eval_crops)) for k, f in mixed.items()}
+    log(f"PCK@0.05 float={pck_f:.4f} int8={pck_q:.4f} int8-fused={pck_u:.4f} "
+        f"mixed={pck_m}")
 
     def fence(o):
         return float(jnp.sum(o))
@@ -106,14 +116,20 @@ def main():
     ms_f = t(lambda: f_float(params, eval_crops))
     ms_q = t(lambda: f_int8(params, eval_crops))
     ms_u = t(lambda: f_fused(params, eval_crops))
+    ms_m = {k: t(lambda f=f: f(params, eval_crops)) for k, f in mixed.items()}
     n_crops = eval_crops.shape[0]
     log(f"forward {n_crops} crops: float {ms_f:.2f} ms | int8 {ms_q:.2f} ms "
         f"({ms_f / ms_q:.2f}x) | int8-fused {ms_u:.2f} ms ({ms_f / ms_u:.2f}x)")
+    for k in sorted(ms_m):
+        log(f"  mixed int8_stages={k}: {ms_m[k]:.2f} ms "
+            f"({ms_f / ms_m[k]:.2f}x) PCK {pck_m[k]:.4f}")
 
     print(json.dumps({
         "pck_float": pck_f, "pck_int8": pck_q, "pck_int8_fused": pck_u,
         "ms_float": ms_f, "ms_int8": ms_q, "ms_int8_fused": ms_u,
         "speedup": ms_f / ms_q, "speedup_fused": ms_f / ms_u,
+        "mixed": {str(k): {"ms": ms_m[k], "pck": pck_m[k],
+                           "speedup": ms_f / ms_m[k]} for k in ms_m},
         "crops": int(n_crops),
     }))
 

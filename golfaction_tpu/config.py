@@ -60,6 +60,13 @@ class PoseConfig:
     # accuracy cost on the swing benchmark.
     deconv_channels: tuple[int, ...] = (256, 128, 128)
     dtype: str = "bfloat16"                      # compute dtype on TPU
+    # Temporal context: channel-concatenate this many adjacent frames
+    # (odd; 1 = single-frame).  3 lets the stem see t-1/t/t+1 so fast
+    # motion-blurred arms can be disambiguated from temporal context
+    # (round-3 arm-fidelity intervention B; changes Conv_0's input width,
+    # so checkpoints are only loadable under the in_frames they were
+    # trained with).
+    in_frames: int = 1
     udp: bool = True                             # sub-pixel (UDP-style) decode
     sigma: float = 2.0                           # target heatmap gaussian sigma
     # Decode path: both are TPU-validated; XLA measured marginally faster

@@ -52,13 +52,19 @@ def unskew(S: jnp.ndarray, Ta: int, Tb: int) -> jnp.ndarray:
     return S[..., i + j, i]
 
 
-def _wavefront_kernel(dskew_ref, rskew_ref, *, Ta: int, K: int, gamma: float):
-    """Sequential wavefront over one pair; rows are [1, Ta] VPU vectors."""
+def _wavefront_kernel(dskew_ref, rskew_ref, *, Ta: int, K: int, gamma: float,
+                      G: int = 1):
+    """Sequential wavefront over G pairs; rows are [G, Ta] VPU tiles.
+
+    G > 1 fills the (8, sublane) x (128, lane) vector registers: at
+    Ta=128 a single pair's [1, Ta] row uses one sublane in eight, so
+    walking G=8 pairs per grid step runs the same K-step loop on 8x the
+    data for the same instruction count (measured in BASELINE.md r3)."""
     # Derive the init carry from a ref read (not a splat constant): Mosaic
     # gives splats a replicated layout that conflicts with the loop body's
     # computed layout ("Invalid relayout" compile error otherwise).
-    inf_row = dskew_ref[0, pl.ds(0, 1), :] * 0.0 + _INF
-    col0 = (jax.lax.broadcasted_iota(jnp.int32, (1, Ta), 1) == 0)
+    inf_row = dskew_ref[:, 0, :] * 0.0 + _INF          # [G, Ta]
+    col0 = (jax.lax.broadcasted_iota(jnp.int32, (G, Ta), 1) == 0)
 
     def shift(x):
         # x[i] -> x[i-1], x[0] -> INF  (lane roll + mask).
@@ -75,7 +81,7 @@ def _wavefront_kernel(dskew_ref, rskew_ref, *, Ta: int, K: int, gamma: float):
 
     def body(k, carry):
         r1, r2 = carry
-        d = dskew_ref[0, pl.ds(k, 1), :]
+        d = dskew_ref[:, pl.ds(k, 1), :].reshape(G, Ta)
         if gamma > 0:
             sm = softmin3(r1, shift(r1), shift(r2))
         else:
@@ -83,15 +89,15 @@ def _wavefront_kernel(dskew_ref, rskew_ref, *, Ta: int, K: int, gamma: float):
         # Virtual R[-1,-1]=0 feeds only cell (0,0) (k==0, i==0).
         sm = jnp.where(col0 & (k == 0), 0.0, sm)
         r0 = jnp.where(d >= _INF, _INF, d + sm)
-        rskew_ref[0, pl.ds(k, 1), :] = r0
+        rskew_ref[:, pl.ds(k, 1), :] = r0.reshape(G, 1, Ta)
         return (r0, r1)
 
     jax.lax.fori_loop(0, K, body, (inf_row, inf_row))
 
 
 def _backward_kernel(dskew_ref, rskew_ref, eskew_ref, *, Ta: int, K: int,
-                     gamma: float):
-    """Reverse wavefront (E-recursion) over one pair.
+                     gamma: float, G: int = 1):
+    """Reverse wavefront (E-recursion) over G pairs (rows [G, Ta]).
 
     Same skewed diagonal-major layout as the forward kernel, walked in
     descending k.  Cell (i, j=k-i) on diagonal k pulls from its successors:
@@ -102,8 +108,8 @@ def _backward_kernel(dskew_ref, rskew_ref, eskew_ref, *, Ta: int, K: int,
     successors (Dskew padding = +INF) get weight 0 via explicit masking —
     the exponents are sanitized BEFORE exp so no INF-INF NaNs form.
     """
-    zero_row = dskew_ref[0, pl.ds(0, 1), :] * 0.0
-    col_last = (jax.lax.broadcasted_iota(jnp.int32, (1, Ta), 1) == Ta - 1)
+    zero_row = dskew_ref[:, 0, :] * 0.0                # [G, Ta]
+    col_last = (jax.lax.broadcasted_iota(jnp.int32, (G, Ta), 1) == Ta - 1)
 
     def unshift(x, fill):
         # x[i] -> x[i+1]; x[Ta-1] -> fill.  pltpu.roll requires a
@@ -112,7 +118,7 @@ def _backward_kernel(dskew_ref, rskew_ref, eskew_ref, *, Ta: int, K: int,
 
     def row(ref, k):
         kc = jnp.clip(k, 0, K - 1)
-        return ref[0, pl.ds(kc, 1), :]
+        return ref[:, pl.ds(kc, 1), :].reshape(G, Ta)
 
     def body(t, carry):
         e1, e2 = carry  # E diagonals k+1 and k+2
@@ -145,7 +151,7 @@ def _backward_kernel(dskew_ref, rskew_ref, eskew_ref, *, Ta: int, K: int,
         # Seed: E[Ta-1, Tb-1] = 1 (its own diagonal k = K-1).
         e0 = jnp.where(col_last & (k == K - 1), 1.0, e0)
         e0 = jnp.where(dcur < _INF, e0, 0.0)
-        eskew_ref[0, pl.ds(jnp.clip(k, 0, K - 1), 1), :] = e0
+        eskew_ref[:, pl.ds(jnp.clip(k, 0, K - 1), 1), :] = e0.reshape(G, 1, Ta)
         return (e0, e1)
 
     jax.lax.fori_loop(0, K, body, (zero_row, zero_row))
@@ -175,6 +181,26 @@ def fits_vmem_bwd(Ta: int, Tb: int) -> bool:
     return 3 * K * Ta * 4 <= _VMEM_BUDGET_BYTES
 
 
+def _lane_group(K: int, Ta: int, tables: int) -> int:
+    """Pairs per grid step: largest G in {8,4,2,1} whose `tables` [G,K,Ta]
+    f32 blocks fit the VMEM budget.  G=8 fills the (8 sublane, 128 lane)
+    vreg — one pair's [1, Ta] row wastes 7/8 of every vector op."""
+    for g in (8, 4, 2, 1):
+        if tables * g * K * Ta * 4 <= _VMEM_BUDGET_BYTES:
+            return g
+    return 1
+
+
+def _pad_batch(x: jnp.ndarray, Bp: int) -> jnp.ndarray:
+    """Pad the batch dim to Bp with +INF tables (all-out-of-band pairs:
+    the forward propagates INF, the backward zeroes them — no NaNs)."""
+    B = x.shape[0]
+    if Bp == B:
+        return x
+    return jnp.concatenate(
+        [x, jnp.full((Bp - B, *x.shape[1:]), _INF, x.dtype)], axis=0)
+
+
 def _wavefront_batch(Dskew: jnp.ndarray, gamma: float, interpret=None):
     return _wavefront_batch_jit(Dskew, gamma, _auto_interpret(interpret))
 
@@ -185,16 +211,19 @@ def _wavefront_batch(Dskew: jnp.ndarray, gamma: float, interpret=None):
 def _wavefront_batch_jit(Dskew: jnp.ndarray, gamma: float, interpret: bool):
     """Dskew [B, K, Ta] -> Rskew [B, K, Ta] (skewed DP table)."""
     B, K, Ta = Dskew.shape
-    return pl.pallas_call(
-        functools.partial(_wavefront_kernel, Ta=Ta, K=K, gamma=gamma),
-        grid=(B,),
-        in_specs=[pl.BlockSpec((1, K, Ta), lambda b: (b, 0, 0),
-                               memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, K, Ta), lambda b: (b, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, K, Ta), jnp.float32),
+    G = _lane_group(K, Ta, 2)
+    Bp = -(-B // G) * G
+    spec = pl.BlockSpec((G, K, Ta), lambda b: (b, 0, 0),
+                        memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_wavefront_kernel, Ta=Ta, K=K, gamma=gamma, G=G),
+        grid=(Bp // G,),
+        in_specs=[spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((Bp, K, Ta), jnp.float32),
         interpret=interpret,
-    )(Dskew.astype(jnp.float32))
+    )(_pad_batch(Dskew.astype(jnp.float32), Bp))
+    return out[:B]
 
 
 def _backward_batch(Dskew, Rskew, gamma: float, interpret=None):
@@ -205,16 +234,20 @@ def _backward_batch(Dskew, Rskew, gamma: float, interpret=None):
 def _backward_batch_jit(Dskew, Rskew, gamma: float, interpret: bool):
     """(Dskew, Rskew) [B, K, Ta] -> Eskew [B, K, Ta] (skewed E matrix)."""
     B, K, Ta = Dskew.shape
-    spec = pl.BlockSpec((1, K, Ta), lambda b: (b, 0, 0),
+    G = _lane_group(K, Ta, 3)
+    Bp = -(-B // G) * G
+    spec = pl.BlockSpec((G, K, Ta), lambda b: (b, 0, 0),
                         memory_space=pltpu.VMEM)
-    return pl.pallas_call(
-        functools.partial(_backward_kernel, Ta=Ta, K=K, gamma=gamma),
-        grid=(B,),
+    out = pl.pallas_call(
+        functools.partial(_backward_kernel, Ta=Ta, K=K, gamma=gamma, G=G),
+        grid=(Bp // G,),
         in_specs=[spec, spec],
         out_specs=spec,
-        out_shape=jax.ShapeDtypeStruct((B, K, Ta), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((Bp, K, Ta), jnp.float32),
         interpret=interpret,
-    )(Dskew.astype(jnp.float32), Rskew.astype(jnp.float32))
+    )(_pad_batch(Dskew.astype(jnp.float32), Bp),
+      _pad_batch(Rskew.astype(jnp.float32), Bp))
+    return out[:B]
 
 
 def softdtw_alignment_pallas(D: jnp.ndarray, gamma: float, interpret=None):

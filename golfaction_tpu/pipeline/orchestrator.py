@@ -147,7 +147,8 @@ class Pipeline:
         c = self.cfg
         k1, k2, k3, k4 = jax.random.split(jax.random.key(seed), 4)
         t0 = 8
-        crops = jnp.zeros((1, *c.pose.input_hw, 3), jnp.float32)
+        crops = jnp.zeros((1, *c.pose.input_hw, 3 * c.pose.in_frames),
+                          jnp.float32)
         sk = jnp.zeros((1, t0, c.gcn.num_joints, c.gcn.in_channels))
         valid = jnp.ones((1, t0), bool)
         phases = jnp.zeros((1, t0, c.gcn.num_phases))
@@ -204,17 +205,31 @@ class Pipeline:
         on_tpu = jax.default_backend() == "tpu"
         use_pallas = c.pose.decode_impl == "pallas" and c.pose.udp and on_tpu
         pallas_pre = c.preprocess_impl == "pallas" and on_tpu
+        half = c.pose.in_frames // 2
 
-        def one_batch(args):
-            f, b = args
+        def crop_one(f, b):
             if pallas_pre:
                 from golfaction_tpu.ops.pallas import preprocess_kernel
 
-                crops = preprocess_kernel.crop_resize_normalize_pallas(
+                return preprocess_kernel.crop_resize_normalize_pallas(
                     f, b, c.pose.input_hw
                 )
+            return preprocess.crop_resize_normalize(f, b, c.pose.input_hw)
+
+        def one_batch(args):
+            # Micro-batches carry frame INDICES, not frame slices: the
+            # multi-frame path (pose.in_frames > 1) gathers each frame's
+            # t±k neighbors from the single resident `frames` buffer and
+            # crops them with frame t's box — no 3x frame materialization.
+            idx, b = args
+            if half == 0:
+                crops = crop_one(jnp.take(frames, idx, axis=0), b)
             else:
-                crops = preprocess.crop_resize_normalize(f, b, c.pose.input_hw)
+                crops = jnp.concatenate([
+                    crop_one(jnp.take(frames,
+                                      jnp.clip(idx + off, 0, T - 1), axis=0), b)
+                    for off in range(-half, half + 1)
+                ], axis=-1)
             hm = self.pose_model.apply(params["pose"], crops)
             if use_pallas:
                 from golfaction_tpu.ops.pallas import decode_kernel
@@ -222,12 +237,13 @@ class Pipeline:
                 return decode_kernel.decode_heatmaps_pallas(hm)
             return heatmap.decode_heatmaps(hm, method="udp" if c.pose.udp else "quarter")
 
+        idx_all = jnp.arange(T, dtype=jnp.int32)
         if T % mb == 0 and T > mb:
-            fr = frames.reshape(T // mb, mb, *frames.shape[1:])
+            ix = idx_all.reshape(T // mb, mb)
             bx = boxes.reshape(T // mb, mb, 4)
-            kpts_hm = jax.lax.map(one_batch, (fr, bx)).reshape(T, c.pose.num_joints, 3)
+            kpts_hm = jax.lax.map(one_batch, (ix, bx)).reshape(T, c.pose.num_joints, 3)
         else:
-            kpts_hm = one_batch((frames, boxes))
+            kpts_hm = one_batch((idx_all, boxes))
         return heatmap.keypoints_to_image(
             kpts_hm, boxes, c.pose.heatmap_hw, c.pose.input_hw
         )

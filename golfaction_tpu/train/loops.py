@@ -130,6 +130,7 @@ def build_pose_batch(samples, pose_cfg: cfg_mod.PoseConfig, frame_stride=4,
     from golfaction_tpu.ops import affine, preprocess
 
     jitter_rng = jitter_rng or np.random.default_rng(0)
+    half = pose_cfg.in_frames // 2
     crops, targets, weights = [], [], []
     for s in samples:
         assert s.frames is not None, "render=True required for pose batches"
@@ -152,7 +153,19 @@ def build_pose_batch(samples, pose_cfg: cfg_mod.PoseConfig, frame_stride=4,
             jnp.asarray(raw_boxes),
             aspect_ratio=pose_cfg.input_hw[1] / pose_cfg.input_hw[0],
         )
-        crops.append(preprocess.crop_resize_normalize(frames, boxes, pose_cfg.input_hw))
+        if half == 0:
+            crops.append(preprocess.crop_resize_normalize(
+                frames, boxes, pose_cfg.input_hw))
+        else:
+            # Temporal context: crop t-1..t+1 (clip-edge clamped) with the
+            # SAME (jittered) box as frame t, channel-concatenated — the
+            # runtime orchestrator does exactly this (orchestrator._pose_pass).
+            groups = []
+            for off in range(-half, half + 1):
+                nidx = np.clip(idx + off, 0, len(s.frames) - 1)
+                groups.append(preprocess.crop_resize_normalize(
+                    jnp.asarray(s.frames[nidx]), boxes, pose_cfg.input_hw))
+            crops.append(jnp.concatenate(groups, axis=-1))
         kpts = jnp.asarray(s.keypoints[idx])
         hm_kpts = heatmap.image_keypoints_to_heatmap(
             kpts, boxes, pose_cfg.heatmap_hw, pose_cfg.input_hw
@@ -167,6 +180,25 @@ def build_pose_batch(samples, pose_cfg: cfg_mod.PoseConfig, frame_stride=4,
         jnp.concatenate(targets),
         jnp.concatenate(weights),
     )
+
+
+def pose_eval_crops(frames_np, boxes, pose_cfg: cfg_mod.PoseConfig):
+    """Inference-convention crops for stage-wise eval: the same multi-frame
+    channel concat as orchestrator._pose_pass (neighbors cropped with frame
+    t's box, clip-edge clamped)."""
+    from golfaction_tpu.ops import preprocess
+
+    half = pose_cfg.in_frames // 2
+    if half == 0:
+        return preprocess.crop_resize_normalize(
+            jnp.asarray(frames_np), boxes, pose_cfg.input_hw)
+    T = len(frames_np)
+    groups = []
+    for off in range(-half, half + 1):
+        nidx = np.clip(np.arange(T) + off, 0, T - 1)
+        groups.append(preprocess.crop_resize_normalize(
+            jnp.asarray(frames_np[nidx]), boxes, pose_cfg.input_hw))
+    return jnp.concatenate(groups, axis=-1)
 
 
 def build_gcn_batch(samples):
@@ -268,7 +300,8 @@ def train_pose(
 
     step_fn = _make_step(loss_fn, tx)
     params = model.init(
-        jax.random.key(train_cfg.seed), jnp.zeros((1, *pose_cfg.input_hw, 3))
+        jax.random.key(train_cfg.seed),
+        jnp.zeros((1, *pose_cfg.input_hw, 3 * pose_cfg.in_frames))
     )
     opt_state = tx.init(params)
 

@@ -44,6 +44,9 @@ def main():
     ap.add_argument("--fast-frame-boost", type=float, default=3.0,
                     help="oversampling boost for high-wrist-travel "
                          "(motion-blurred) pool frames")
+    ap.add_argument("--pose-in-frames", type=int, default=1,
+                    help="adjacent frames channel-concatenated as pose "
+                         "input (1 or 3) — temporal-context deblur")
     ap.add_argument("--pool-fault-prob", type=float, default=0.5,
                     help="fault rate in the pose render pool (faulty arms "
                          "leave the canonical trajectory — image-trust "
@@ -184,7 +187,7 @@ def main():
 
     # ---------------- Pose ----------------
     if "pose" not in args.skip:
-        pose_cfg = cfg_mod.PoseConfig()
+        pose_cfg = cfg_mod.PoseConfig(in_frames=args.pose_in_frames)
         if args.eval_only:
             ck = checkpoint.latest_step_dir(f"{args.out}/params/pose")
             state = loops.TrainState(checkpoint.restore_params(ck), None)
@@ -215,8 +218,7 @@ def main():
             boxes = affine.box_to_center_scale(
                 jnp.asarray(s.boxes),
                 aspect_ratio=pose_cfg.input_hw[1] / pose_cfg.input_hw[0])
-            crops = preprocess.crop_resize_normalize(
-                jnp.asarray(s.frames), boxes, pose_cfg.input_hw)
+            crops = loops.pose_eval_crops(s.frames, boxes, pose_cfg)
             hm = fwd(state.params, crops)
             kpts = heatmap.decode_heatmaps(hm, "udp")
             kpts_img = heatmap.keypoints_to_image(

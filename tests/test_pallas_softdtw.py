@@ -149,3 +149,20 @@ def test_backward_kernel_large_falls_back():
     """Beyond the bwd VMEM budget the alignment path uses the scan pair."""
     assert not pk.fits_vmem_bwd(1024, 1024)
     assert pk.fits_vmem_bwd(128, 128)
+
+
+def test_lane_group_padding_parity():
+    """G>1 lane batching (8 pairs per grid step) with a batch that is NOT a
+    multiple of G: padded pairs must not perturb real ones, forward or E."""
+    assert pk._lane_group(6 + 6 - 1, 6, 2) == 8   # tiny tables -> full vreg
+    rng = np.random.default_rng(31)
+    D = _rand_D(rng, 5, 6, 6)                     # B=5 -> pads to 8
+    cost, E = pk.softdtw_alignment_pallas(D, 0.1)
+    assert cost.shape == (5,) and E.shape == (5, 6, 6)
+    for k in range(5):
+        R = softdtw._forward_scan(D[k], 0.1)
+        np.testing.assert_allclose(float(cost[k]), float(R[-1, -1]),
+                                   rtol=1e-5, atol=1e-5)
+        E_ref = softdtw._backward_scan(D[k], R, 0.1)
+        np.testing.assert_allclose(np.asarray(E[k]), np.asarray(E_ref),
+                                   rtol=1e-4, atol=1e-5)

@@ -165,11 +165,17 @@ def _make_pipeline(orchestrator, cfg, dev, seed=0):
     """
     import jax
 
+    art = os.path.join(os.path.dirname(os.path.abspath(__file__)), "artifacts")
+    try:
+        from golfaction_tpu.train import checkpoint as _ck
+
+        cfg = _ck.config_for_artifacts(cfg, art)
+    except Exception:
+        pass
     if dev in _PARAMS_CACHE:
         return orchestrator.Pipeline(cfg, params=_PARAMS_CACHE[dev])
 
     t0 = time.time()
-    art = os.path.join(os.path.dirname(os.path.abspath(__file__)), "artifacts")
     try:
         from golfaction_tpu.train import checkpoint as ckpt_mod
 

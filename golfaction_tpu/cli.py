@@ -30,6 +30,8 @@ def cmd_analyze(args):
     cfg = cfg_mod.get_config(args.preset)
     if args.set:
         cfg = cfg_mod.apply_overrides(cfg, args.set)
+    if args.checkpoint:
+        cfg = checkpoint.config_for_artifacts(cfg, args.checkpoint)
     pipe = orchestrator.Pipeline(cfg)
     if args.checkpoint:
         if os.path.isdir(os.path.join(args.checkpoint, "params")) or any(
@@ -119,6 +121,8 @@ def cmd_compare(args):
     cfg = cfg_mod.get_config(args.preset)
     if args.set:
         cfg = cfg_mod.apply_overrides(cfg, args.set)
+    if args.checkpoint:
+        cfg = checkpoint.config_for_artifacts(cfg, args.checkpoint)
     pipe = orchestrator.Pipeline(cfg)
     threshold = 0.5
     if args.checkpoint:
@@ -173,6 +177,8 @@ def cmd_stream(args):
         cfg = __import__("dataclasses").replace(
             cfg, length_buckets=tuple(sorted({*cfg.length_buckets, args.window}))
         )
+    if args.checkpoint:
+        cfg = checkpoint.config_for_artifacts(cfg, args.checkpoint)
     pipe = orchestrator.Pipeline(cfg)
     if args.checkpoint:
         pipe.params = checkpoint.load_pipeline_params(

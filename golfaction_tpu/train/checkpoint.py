@@ -77,6 +77,41 @@ def load_pipeline_params(root: str, like: Any) -> Any:
     return out
 
 
+def detect_pose_in_frames(root: str) -> int:
+    """Infer pose.in_frames from a saved pose checkpoint's stem kernel
+    shape (Conv_0 kernel [7, 7, 3*in_frames, 64]) without restoring it.
+
+    The temporal-context width changes the stem's input channels, so a
+    checkpoint is only loadable under the in_frames it was trained with;
+    this lets pipeline constructors self-configure from the artifacts tree
+    (returns 1 when no pose checkpoint exists).
+    """
+    base = os.path.join(root, "params") if os.path.isdir(
+        os.path.join(root, "params")
+    ) else root
+    step_dir = latest_step_dir(os.path.join(base, "pose"))
+    if not step_dir:
+        return 1
+    try:
+        meta = ocp.StandardCheckpointer().metadata(step_dir).item_metadata
+        shape = meta["params"]["Conv_0"]["kernel"].shape
+    except Exception:
+        return 1
+    return max(int(shape[2]) // 3, 1)
+
+
+def config_for_artifacts(cfg, root: str):
+    """Adapt a PipelineConfig to an artifacts tree: set pose.in_frames to
+    the width the saved pose checkpoint was trained with (see
+    detect_pose_in_frames).  No-op when they already agree."""
+    nf = detect_pose_in_frames(root)
+    if nf == cfg.pose.in_frames:
+        return cfg
+    from golfaction_tpu import config as cfg_mod
+
+    return cfg_mod.apply_overrides(cfg, [f"pose.in_frames={nf}"])
+
+
 def latest_step_dir(root: str) -> Optional[str]:
     """Find the newest step_XXXXXXXX checkpoint under `root` (resume helper)."""
     if not os.path.isdir(root):

@@ -60,6 +60,7 @@ def main():
         video_hw=tuple(args.hw),
         length_buckets=(args.frames,),
     )
+    cfg = checkpoint.config_for_artifacts(cfg, args.artifacts)
     pipe = orchestrator.Pipeline(cfg, seed=0)
     pipe.params = checkpoint.load_pipeline_params(args.artifacts, like=pipe.params)
     log(f"loaded trained params from {args.artifacts}")

@@ -53,7 +53,8 @@ def main():
     ap.add_argument("--severity", type=float, default=1.0)
     ap.add_argument("--seed", type=int, default=880_000)
     ap.add_argument("--cpu", action="store_true")
-    ap.add_argument("--pose-in-frames", type=int, default=1)
+    ap.add_argument("--pose-in-frames", type=int, default=None,
+                    help="default: auto-detect from the pose checkpoint")
     ap.add_argument("--pose-dir", default=None,
                     help="override pose checkpoint dir (compare candidates "
                          "without touching artifacts/)")
@@ -77,9 +78,13 @@ def main():
     cfg = cfg_mod.get_config(
         "full_pipeline", video_hw=hw, length_buckets=(args.frames,)
     )
-    if args.pose_in_frames != 1:
-        cfg = cfg_mod.apply_overrides(
-            cfg, [f"pose.in_frames={args.pose_in_frames}"])
+    nf = args.pose_in_frames
+    if nf is None:
+        root = (os.path.dirname(os.path.dirname(args.pose_dir.rstrip("/")))
+                if args.pose_dir else args.artifacts)
+        nf = checkpoint.detect_pose_in_frames(root)
+    if nf != 1:
+        cfg = cfg_mod.apply_overrides(cfg, [f"pose.in_frames={nf}"])
     pipe = orchestrator.Pipeline(cfg, seed=0)
     pipe.params = checkpoint.load_pipeline_params(
         args.artifacts, like=pipe.params

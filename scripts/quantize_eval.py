@@ -42,9 +42,11 @@ def main():
     def log(m):
         print(m, file=sys.stderr, flush=True)
 
-    cfg = cfg_mod.PoseConfig()
+    cfg = cfg_mod.PoseConfig(
+        in_frames=checkpoint.detect_pose_in_frames(args.artifacts))
     model = pose.create_pose_model(cfg)
-    params = model.init(jax.random.key(0), jnp.zeros((1, *cfg.input_hw, 3)))
+    params = model.init(jax.random.key(0),
+                        jnp.zeros((1, *cfg.input_hw, 3 * cfg.in_frames)))
     ck = checkpoint.latest_step_dir(f"{args.artifacts}/params/pose")
     if ck:
         params = checkpoint.restore_params(ck, like=params)
@@ -61,8 +63,9 @@ def main():
         for s in samples:
             boxes = affine.box_to_center_scale(
                 jnp.asarray(s.boxes), aspect_ratio=cfg.input_hw[1] / cfg.input_hw[0])
-            crops.append(preprocess.crop_resize_normalize(
-                jnp.asarray(s.frames), boxes, cfg.input_hw))
+            from golfaction_tpu.train import loops as loops_mod
+
+            crops.append(loops_mod.pose_eval_crops(s.frames, boxes, cfg))
             gts.append(s.keypoints)
             boxes_all.append(boxes)
         return jnp.concatenate(crops), np.concatenate(gts), jnp.concatenate(boxes_all)

@@ -144,3 +144,28 @@ def test_checkpoint_resume_continues_training(tmp_path):
     import jax
     for a, b in zip(jax.tree.leaves(full.params), jax.tree.leaves(resumed.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_detect_pose_in_frames(tmp_path):
+    """config_for_artifacts self-configures pose.in_frames from the saved
+    stem kernel width (multi-frame checkpoints are width-incompatible)."""
+    import jax
+    import jax.numpy as jnp
+
+    from golfaction_tpu import config as cfg_mod
+    from golfaction_tpu.models import pose as pose_mod
+    from golfaction_tpu.train import checkpoint
+
+    pc = cfg_mod.PoseConfig(input_hw=(32, 24), heatmap_hw=(8, 6),
+                            stage_blocks=(1,), stage_channels=(8,),
+                            deconv_channels=(8,), in_frames=3,
+                            dtype="float32")
+    model = pose_mod.create_pose_model(pc)
+    params = model.init(jax.random.key(0), jnp.zeros((1, 32, 24, 9)))
+    checkpoint.save_params(str(tmp_path / "params" / "pose"), params, step=1)
+    assert checkpoint.detect_pose_in_frames(str(tmp_path)) == 3
+    cfg = cfg_mod.get_config("full_pipeline")
+    cfg2 = checkpoint.config_for_artifacts(cfg, str(tmp_path))
+    assert cfg2.pose.in_frames == 3
+    # missing checkpoint -> conservative single-frame
+    assert checkpoint.detect_pose_in_frames(str(tmp_path / "nope")) == 1

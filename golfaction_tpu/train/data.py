@@ -270,14 +270,19 @@ def render_frames(
 # Scene families (cross-domain generalization protocol, VERDICT r2 #6):
 #   0 outdoor (sky/grass/trees)   1 indoor range (wall/floor/mat)
 #   2 real-photo composite        3 dusk (warm cast, vignette, striped shirt)
+#   4 procedural clutter (domain randomization: multi-scale noise + shapes)
 # From round 3 on, training renders draw ONLY from TRAIN_SCENE_FAMILIES;
 # family 2 is held out of ALL training (incl. cascade adaptation) and
 # family 3 exists only for eval — e2e metrics on 2/3 therefore measure
-# transfer to scene statistics the models have never seen.
-TRAIN_SCENE_FAMILIES = (0, 1)
+# transfer to scene statistics the models have never seen.  Family 4 is a
+# TRAIN family added when the first holdout run exposed background
+# overfitting (family-2 PCK 0.51 vs 0.95 in-domain): its high-frequency
+# random shapes/textures force the pose net onto body structure instead
+# of the smooth family-0/1 background statistics.
+TRAIN_SCENE_FAMILIES = (0, 1, 4)
 HELDOUT_SCENE_FAMILY = 2
 EVAL_ONLY_SCENE_FAMILY = 3
-ALL_SCENE_FAMILIES = (0, 1, 2, 3)
+ALL_SCENE_FAMILIES = (0, 1, 2, 3, 4)
 
 _SKIN_TONES = ((242, 206, 176), (224, 177, 132), (198, 134, 94),
                (141, 85, 56), (96, 57, 36))
@@ -356,6 +361,32 @@ def _make_background(rng: np.random.Generator, hw,
         cv2.rectangle(bg, (x0, floor_y), (x0 + int(W * 0.35), H),
                       (rng.uniform(40, 90), rng.uniform(90, 140),
                        rng.uniform(40, 90)), -1)
+    elif kind == 4:  # procedural clutter: multi-scale noise + random shapes
+        tint = rng.uniform(0.6, 1.2, 3)
+        bg = (_value_noise(rng, (H, W), cells=int(rng.integers(4, 16)),
+                           lo=40, hi=200)[..., None] * tint).astype(np.float32)
+        fine = _value_noise(rng, (H, W), cells=48, lo=0.75, hi=1.25)
+        bg *= fine[..., None]
+        for _ in range(rng.integers(8, 22)):
+            col = tuple(float(v) for v in rng.uniform(20, 235, 3))
+            sh = rng.integers(0, 3)
+            if sh == 0:
+                x0, y0 = rng.integers(0, W), rng.integers(0, H)
+                cv2.rectangle(bg, (int(x0), int(y0)),
+                              (int(x0 + rng.uniform(0.02, 0.25) * W),
+                               int(y0 + rng.uniform(0.02, 0.25) * H)),
+                              col, -1)
+            elif sh == 1:
+                cv2.circle(bg, (int(rng.integers(0, W)), int(rng.integers(0, H))),
+                           int(rng.uniform(0.01, 0.12) * H), col, -1,
+                           cv2.LINE_AA)
+            else:
+                cv2.line(bg, (int(rng.integers(0, W)), int(rng.integers(0, H))),
+                         (int(rng.integers(0, W)), int(rng.integers(0, H))),
+                         col, int(rng.uniform(1, 0.02 * H) + 1), cv2.LINE_AA)
+        if rng.uniform() < 0.5:  # sometimes photo-like defocus
+            k = 2 * int(rng.integers(1, 6)) + 1
+            bg = cv2.GaussianBlur(bg, (k, k), 0)
     elif kind == 3:  # dusk: low sun, warm sky bands, dark textured ground
         horizon = int(H * rng.uniform(0.35, 0.6))
         # banded sunset sky: orange near the horizon fading to purple above

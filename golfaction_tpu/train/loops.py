@@ -363,6 +363,34 @@ def train_pose(
                 c = jnp.concatenate([c[:k, :, ::-1], c[k:]])
                 t = jnp.concatenate([t[:k][:, perm][..., ::-1], t[k:]])
                 w = jnp.concatenate([w[:k][:, perm], w[k:]])
+            # Photometric domain randomization (round 3): the scene-family
+            # holdout exposed background/color overfitting (family-2 PCK
+            # 0.51 vs 0.95 in-domain).  Per-crop color cast / contrast /
+            # brightness / noise + random-erase clutter patches, applied in
+            # normalized-crop space; the color cast is shared across the
+            # temporal channel groups (consistent lighting over t±1).
+            B, H, W_, C = c.shape
+            cast = np.tile(rng.uniform(0.72, 1.32, (B, 1, 1, 3)),
+                           (1, 1, 1, C // 3)).astype(np.float32)
+            contr = rng.uniform(0.72, 1.38, (B, 1, 1, 1)).astype(np.float32)
+            bright = rng.normal(0, 0.25, (B, 1, 1, 1)).astype(np.float32)
+            m = jnp.mean(c, axis=(1, 2, 3), keepdims=True)
+            c = (c - m) * jnp.asarray(contr * cast) + m + jnp.asarray(bright)
+            sig = rng.uniform(0, 0.08, (B, 1, 1, 1)).astype(np.float32)
+            c = c + jnp.asarray(rng.normal(0, 1, c.shape).astype(np.float32)
+                                * sig)
+            mask = np.zeros((B, H, W_, 1), np.float32)
+            colors = np.tile(rng.normal(0, 1, (B, 1, 1, 3)),
+                             (1, 1, 1, C // 3)).astype(np.float32)
+            for bi in range(B):
+                for _ in range(int(rng.integers(0, 3))):  # 0-2 erase rects
+                    eh = int(rng.uniform(0.08, 0.3) * H)
+                    ew = int(rng.uniform(0.08, 0.3) * W_)
+                    y0 = int(rng.integers(0, max(H - eh, 1)))
+                    x0 = int(rng.integers(0, max(W_ - ew, 1)))
+                    mask[bi, y0:y0 + eh, x0:x0 + ew] = 1.0
+            mask_j = jnp.asarray(mask)
+            c = c * (1 - mask_j) + jnp.asarray(colors) * mask_j
             return c, t, w
     else:
         def batch_fn(step):

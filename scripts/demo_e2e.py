@@ -66,11 +66,16 @@ def main():
     log(f"loaded trained params from {args.artifacts}")
 
     hw = tuple(args.hw)
+    # Main sections render from TRAIN families only (the in-domain
+    # numbers); cross-domain transfer is measured separately below on the
+    # held-out families, so the two are never conflated.
     samples = data.make_swing_batch(args.clips, args.frames, seed=990_000,
-                                    image_hw=hw, render=True, fault_prob=0.5)
+                                    image_hw=hw, render=True, fault_prob=0.5,
+                                    scene_families=data.TRAIN_SCENE_FAMILIES)
     ref_sample = data.make_swing_batch(1, args.frames, seed=991_000,
                                        image_hw=hw, render=True,
-                                       fault_prob=0.0)[0]
+                                       fault_prob=0.0,
+                                       scene_families=data.TRAIN_SCENE_FAMILIES)[0]
 
     ref_res = pipe.analyze(ref_sample.frames)
     ref_skel = pipe.extract_skeleton(ref_res)
@@ -103,7 +108,8 @@ def main():
     # represented) — the random 12-clip draw above routinely misses whole
     # faults, making its per-fault recall meaningless.
     err_samples = data.make_fault_balanced_batch(
-        3, args.frames, seed=993_000, image_hw=hw, render=True, clean=6)
+        3, args.frames, seed=993_000, image_hw=hw, render=True, clean=6,
+        scene_families=data.TRAIN_SCENE_FAMILIES)
     err_pred, err_true = [], []
     for s in err_samples:
         r = pipe.analyze(s.frames, reference=ref_skel)
@@ -183,7 +189,8 @@ def main():
 
         jit_samples = data.make_swing_batch(
             args.jitter_clips, args.frames, seed=992_000, image_hw=hw,
-            render=True, fault_prob=0.0, camera_jitter=0.03)
+            render=True, fault_prob=0.0, camera_jitter=0.03,
+            scene_families=data.TRAIN_SCENE_FAMILIES)
 
         def _pck_through(p, samples_):
             vals = []

@@ -44,14 +44,19 @@ def restore_params(path: str, like: Optional[Any] = None,
     """
     path = os.path.abspath(path)
     ckptr = ocp.StandardCheckpointer()
-    if like is not None:
-        abstract = jax.tree.map(
-            lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype), like
-        )
-        return ckptr.restore(path, abstract)
     if device is None:
         device = jax.local_devices()[0]
     sharding = jax.sharding.SingleDeviceSharding(device)
+    if like is not None:
+        # A concrete sharding is required: without it Orbax falls back to
+        # the checkpoint's own sharding metadata, whose device names are
+        # stale across platforms (TPU-written -> CPU restore raises
+        # "sharding ... Got None").
+        abstract = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype,
+                                           sharding=sharding), like
+        )
+        return ckptr.restore(path, abstract)
     meta = ckptr.metadata(path).item_metadata
     abstract = jax.tree.map(
         lambda m: jax.ShapeDtypeStruct(m.shape, m.dtype, sharding=sharding),
@@ -86,6 +91,8 @@ def detect_pose_in_frames(root: str) -> int:
     this lets pipeline constructors self-configure from the artifacts tree
     (returns 1 when no pose checkpoint exists).
     """
+    root = os.path.abspath(root)  # Orbax metadata() silently fails (None)
+    # on relative paths, which would mis-detect every multi-frame ckpt as 1.
     base = os.path.join(root, "params") if os.path.isdir(
         os.path.join(root, "params")
     ) else root

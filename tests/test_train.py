@@ -164,6 +164,14 @@ def test_detect_pose_in_frames(tmp_path):
     params = model.init(jax.random.key(0), jnp.zeros((1, 32, 24, 9)))
     checkpoint.save_params(str(tmp_path / "params" / "pose"), params, step=1)
     assert checkpoint.detect_pose_in_frames(str(tmp_path)) == 3
+    # Relative paths must work too: Orbax metadata() returns None for them,
+    # which silently mis-detected every multi-frame checkpoint as 1-frame.
+    cwd = os.getcwd()
+    os.chdir(tmp_path.parent)
+    try:
+        assert checkpoint.detect_pose_in_frames(tmp_path.name) == 3
+    finally:
+        os.chdir(cwd)
     cfg = cfg_mod.get_config("full_pipeline")
     cfg2 = checkpoint.config_for_artifacts(cfg, str(tmp_path))
     assert cfg2.pose.in_frames == 3

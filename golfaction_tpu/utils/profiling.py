@@ -85,3 +85,17 @@ def timed_blocked(fn, *args, warmup: int = 1, iters: int = 5, **kw):
         out = fn(*args, **kw)
     value_fence(out)
     return (time.perf_counter() - t0) / iters
+
+
+def enable_compile_cache(path: str = "/tmp/golfaction_jax_cache",
+                         min_compile_secs: float = 1.0) -> None:
+    """Persistent XLA compile cache shared by scripts/tests/bench.
+
+    Tunnel compiles of the pipeline programs run minutes each on this
+    class of dev host; every entry point that jits them should call this
+    before first compilation so reruns (and the driver's bench) hit the
+    same cache the test suite warms.
+    """
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                      min_compile_secs)

@@ -32,6 +32,9 @@ def main():
 
     import jax
 
+    from golfaction_tpu.utils import profiling
+    profiling.enable_compile_cache()
+
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
 

@@ -62,6 +62,9 @@ def main():
 
     import jax
 
+    from golfaction_tpu.utils import profiling
+    profiling.enable_compile_cache()
+
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
 
@@ -86,15 +89,21 @@ def main():
     if nf != 1:
         cfg = cfg_mod.apply_overrides(cfg, [f"pose.in_frames={nf}"])
     pipe = orchestrator.Pipeline(cfg, seed=0)
-    pipe.params = checkpoint.load_pipeline_params(
-        args.artifacts, like=pipe.params
-    )
     if args.pose_dir:
+        # Load pose ONLY from pose_dir: the artifacts pose may have a
+        # different in_frames (stem channel count) than the candidate and
+        # would fail shape-checked restore against this pipeline's `like`.
+        like = dict(pipe.params)
+        pose_like = like.pop("pose")
+        pipe.params = checkpoint.load_pipeline_params(args.artifacts,
+                                                      like=like)
         step = checkpoint.latest_step_dir(args.pose_dir) or args.pose_dir
-        pipe.params["pose"] = checkpoint.restore_params(
-            step, like=pipe.params["pose"]
-        )
+        pipe.params["pose"] = checkpoint.restore_params(step, like=pose_like)
         log(f"pose params overridden from {step}")
+    else:
+        pipe.params = checkpoint.load_pipeline_params(
+            args.artifacts, like=pipe.params
+        )
 
     def make_pair(fault, sev, seed):
         """Render (faulty, clean) clips that differ ONLY by the deflection."""

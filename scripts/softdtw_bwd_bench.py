@@ -36,6 +36,9 @@ def _measure(path: str, B: int, T: int, Dim: int, gamma: float, iters: int,
     device sequentially (memory: axon-tpu-env-gotchas).
     """
     import jax
+
+    from golfaction_tpu.utils import profiling
+    profiling.enable_compile_cache()
     import jax.numpy as jnp
 
     from golfaction_tpu.ops import softdtw as sdtw

@@ -120,8 +120,14 @@ def main():
                 s, hw, person_height_px=0.65 * hw[0],
                 rng=np.random.default_rng(seed + 2),
             )
+            # In-domain families only: this probe isolates fast-arm pose
+            # fidelity; cross-domain transfer is measured separately
+            # (demo_e2e --domain-clips).  Drawing the held-out family here
+            # would conflate the two axes.
+            fam_rng = np.random.default_rng(seed + 4)
             s = data.render_frames_photo(
-                s, hw, rng=np.random.default_rng(seed + 3)
+                s, hw, rng=np.random.default_rng(seed + 3),
+                scene_family=int(fam_rng.choice(data.TRAIN_SCENE_FAMILIES)),
             )
             out.append(s)
         return out

@@ -77,6 +77,8 @@ class SwingSample:
     frames: Optional[np.ndarray] = None   # [T, H, W, 3] uint8 if rendered
     boxes: Optional[np.ndarray] = None    # [T, 4]
     progress: Optional[np.ndarray] = None  # [T] swing progress in [0, 1]
+    fault_defl: Optional[np.ndarray] = None  # [T, 17] fault deflection
+    # (unit body frame from swing_keypoints; pixels after place_in_image)
 
 
 def _phase_curve(t: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -148,6 +150,7 @@ def swing_keypoints(
     faults = faults or {}
     back = theta < -0.1     # backswing side frames
     down = (theta > -1.0) & (theta < 0.3)
+    kpts_pre_fault = kpts.copy()
     for name, sev in faults.items():
         e = cfg_mod.SWING_ERRORS.index(name)
         flags[e] = 1.0
@@ -169,6 +172,14 @@ def swing_keypoints(
         elif name == "head_movement":
             kpts[:, [0, 1, 2, 3, 4], 0] += sev * 0.12 * np.sin(theta * 2)[:, None]
 
+    # Per-frame/per-joint fault deflection — how far the injected faults
+    # moved each joint off the canonical trajectory (unit body frame;
+    # place_in_image scales it to pixels).  Pose training uses it to
+    # oversample + upweight exactly the frames/joints a fault displaces:
+    # faults like chicken_wing live in a handful of follow-through frames
+    # and are otherwise drowned out by the canonical-pose prior.
+    fault_defl = np.linalg.norm(kpts - kpts_pre_fault, axis=-1).astype(np.float32)
+
     # Measurement noise.
     kpts += rng.normal(0, noise, kpts.shape)
     vis = np.ones((num_frames, V, 1))
@@ -177,6 +188,7 @@ def swing_keypoints(
         phase_labels=labels.astype(np.int32),
         error_flags=flags,
         progress=t.astype(np.float32),
+        fault_defl=fault_defl,
     )
 
 
@@ -204,7 +216,11 @@ def place_in_image(
     c = (lo + hi) / 2
     wh = (hi - lo) * 1.15
     boxes = np.concatenate([c, wh], axis=-1).astype(np.float32)
-    return dataclasses.replace(sample, keypoints=kpts, boxes=boxes)
+    defl = sample.fault_defl
+    if defl is not None:
+        defl = (defl * scale).astype(np.float32)   # unit frame -> pixels
+    return dataclasses.replace(sample, keypoints=kpts, boxes=boxes,
+                               fault_defl=defl)
 
 
 def render_frames(

@@ -267,6 +267,8 @@ def train_pose(
     arm_weight: float = 1.0,
     fast_frame_boost: float = 0.0,
     pool_fault_prob: float | None = None,
+    fault_frame_boost: float = 0.0,
+    fault_joint_boost: float = 0.0,
 ):
     """Pose training.  pool_clips > 0 pre-renders that many clips ONCE and
     samples batches from the pool each step — rendering (host NumPy) is ~100x
@@ -281,7 +283,14 @@ def train_pose(
         so the net learns the canonical trajectory prior instead of
         tracking the blurred arm);
       pool_fault_prob overrides the pool's fault rate (faulty swings move
-        arms OFF the canonical path — image-trust supervision).
+        arms OFF the canonical path — image-trust supervision);
+      fault_frame_boost / fault_joint_boost oversample pool frames and
+        upweight the heatmap loss of exactly the joints an injected fault
+        displaced (SwingSample.fault_defl).  Motivation: chicken_wing
+        deflects one elbow in a handful of follow-through frames — under
+        travel-boosted sampling those frames are anti-selected and the
+        net keeps the canonical-elbow prior (measured transfer gain 0.11
+        vs 1.0+ for downswing wrist faults).
     """
     model = pose_mod.create_pose_model(pose_cfg)
     tx = make_optimizer(train_cfg)
@@ -331,11 +340,26 @@ def train_pose(
         crops = jnp.concatenate([b[0] for b in pool_batches])
         targets = jnp.concatenate([b[1] for b in pool_batches])
         weights = jnp.concatenate([b[2] for b in pool_batches])
+
+        # Fault deflection per pooled crop/joint, normalized so ~15 px of
+        # displacement reaches full boost (chicken_wing peaks at ~26 px at
+        # the 540-row training render; an absolute scale keeps small-but-
+        # real faults from being drowned by swaying's 68 px).
+        defl = np.concatenate([
+            s.fault_defl if s.fault_defl is not None
+            else np.zeros(s.keypoints.shape[:2], np.float32)
+            for s in pool
+        ])                                              # [N, V] px
+        defl_unit = np.minimum(defl / 15.0, 2.0) / 2.0  # [N, V] in [0, 1]
+        if fault_joint_boost > 0:
+            weights = weights * jnp.asarray(
+                1.0 + fault_joint_boost * defl_unit)
         n = crops.shape[0]
         per_step = clips_per_epoch * max(frames_per_clip // 4, 1)
 
         # Sampling probabilities over pooled crops: uniform, optionally
-        # boosted toward high-wrist-travel (motion-blurred) frames.
+        # boosted toward high-wrist-travel (motion-blurred) frames and
+        # toward frames where an injected fault displaced any joint.
         travel = np.concatenate([
             np.linalg.norm(
                 np.diff(s.keypoints[:, 9, :2], axis=0, prepend=s.keypoints[:1, 9, :2]),
@@ -343,7 +367,8 @@ def train_pose(
             )
             for s in pool
         ])
-        p_sample = 1.0 + fast_frame_boost * travel / max(travel.max(), 1e-6)
+        p_sample = (1.0 + fast_frame_boost * travel / max(travel.max(), 1e-6)
+                    + fault_frame_boost * defl_unit.max(axis=-1))
         p_sample /= p_sample.sum()
 
         # Horizontal-flip augmentation table: mirror the crop's W axis and

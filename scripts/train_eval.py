@@ -51,6 +51,13 @@ def main():
                     help="fault rate in the pose render pool (faulty arms "
                          "leave the canonical trajectory — image-trust "
                          "supervision)")
+    ap.add_argument("--fault-frame-boost", type=float, default=2.0,
+                    help="oversampling boost for pool frames where an "
+                         "injected fault displaced a joint (chicken_wing "
+                         "lives in a few follow-through frames)")
+    ap.add_argument("--fault-joint-boost", type=float, default=2.0,
+                    help="heatmap-loss upweight for exactly the joints a "
+                         "fault displaced, scaled by deflection")
     args = ap.parse_args()
 
     import jax
@@ -205,7 +212,9 @@ def main():
                 frames_per_clip=8, log_every=max(pose_steps // 10, 1),
                 pool_clips=160, arm_weight=args.arm_weight,
                 fast_frame_boost=args.fast_frame_boost,
-                pool_fault_prob=args.pool_fault_prob)
+                pool_fault_prob=args.pool_fault_prob,
+                fault_frame_boost=args.fault_frame_boost,
+                fault_joint_boost=args.fault_joint_boost)
             ck = checkpoint.save_params(f"{args.out}/params/pose", state.params,
                                         step=state.step)
         # Eval PCK@0.05 through the full preprocess->pose->decode path.

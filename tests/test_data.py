@@ -46,6 +46,26 @@ def test_fault_injection_sets_flags_and_moves_joints():
     assert diff.max() > 0.05
 
 
+def test_fault_defl_tracks_injected_deflection():
+    clean = data.swing_keypoints(60, np.random.default_rng(2), style_jitter=0.0,
+                                 noise=0.0)
+    fault = data.swing_keypoints(60, np.random.default_rng(2), style_jitter=0.0,
+                                 noise=0.0, faults={"chicken_wing": 1.0})
+    assert clean.fault_defl.shape == (60, 17)
+    assert clean.fault_defl.max() == 0.0
+    # Deflection lands on joint 7 only, and matches the keypoint delta.
+    moved = fault.fault_defl.max(axis=0)
+    assert moved[7] > 0.1 and np.delete(moved, 7).max() < 1e-6
+    delta = np.linalg.norm(
+        fault.keypoints[..., :2] - clean.keypoints[..., :2], axis=-1)
+    np.testing.assert_allclose(fault.fault_defl, delta, atol=1e-5)
+    # place_in_image scales it to pixels alongside the keypoints.
+    placed = data.place_in_image(fault, (540, 960), person_height_px=350,
+                                 rng=np.random.default_rng(3))
+    np.testing.assert_allclose(placed.fault_defl, fault.fault_defl * 175.0,
+                               rtol=1e-5)
+
+
 def test_place_in_image_boxes_contain_keypoints():
     rng = np.random.default_rng(3)
     s = data.swing_keypoints(30, rng)

@@ -49,7 +49,10 @@ def test_pose_training_reduces_loss():
     cfg = cfg_mod.TrainConfig(batch_size=2, learning_rate=1e-3, warmup_steps=2,
                               total_steps=6, seed=0)
     state, hist = loops.train_pose(pose_cfg, cfg, image_hw=(96, 128),
-                                   clips_per_epoch=1, frames_per_clip=8, log_every=1)
+                                   clips_per_epoch=1, frames_per_clip=8, log_every=1,
+                                   pool_clips=6, pool_fault_prob=0.7,
+                                   fast_frame_boost=2.0, fault_frame_boost=2.0,
+                                   fault_joint_boost=2.0)
     assert hist[-1]["loss"] < hist[0]["loss"]
 
 

@@ -176,6 +176,7 @@ class TrainConfig:
     seed: int = 0
     checkpoint_dir: str = "/tmp/golfaction_ckpt"
     checkpoint_every: int = 200
+    tb_logdir: str | None = None   # optional TensorBoard scalar mirror
 
 
 def _preset_pose_single() -> PipelineConfig:

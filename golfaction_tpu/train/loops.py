@@ -89,6 +89,9 @@ def _run_training(
         params, opt_state = state["params"], state["opt_state"]
         start_step = int(state["step"])
 
+    from golfaction_tpu.utils.logging import TensorBoardScalars
+    tb = TensorBoardScalars(getattr(train_cfg, "tb_logdir", None))
+
     history = []
     for step in range(start_step, train_cfg.total_steps):
         params, opt_state, aux = step_fn(params, opt_state, batch_fn(step))
@@ -96,6 +99,7 @@ def _run_training(
             rec = {"step": step, "loss": float(aux["loss"])}
             rec.update({k: float(aux[k]) for k in aux_keys})
             history.append(rec)
+            tb.log(step, **{k: v for k, v in rec.items() if k != "step"})
         if (
             checkpoint_tag
             and train_cfg.checkpoint_every > 0
@@ -107,6 +111,7 @@ def _run_training(
                  "step": np.int32(step + 1)},
                 step=step + 1,
             )
+    tb.close()
     return TrainState(params, opt_state, train_cfg.total_steps), history
 
 

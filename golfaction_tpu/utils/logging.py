@@ -40,6 +40,42 @@ class JsonlLogger:
             self._fh = None
 
 
+class TensorBoardScalars:
+    """Optional TensorBoard scalar writer (SURVEY.md §5 "optional
+    TensorBoard scalars").
+
+    Thin, lazily-imported wrapper so the package has no hard tensorboard
+    dependency: construction succeeds (as a no-op) when tensorboard is not
+    installed.  Scalars mirror what JsonlLogger records numerically —
+    pass the same fields and non-scalars are skipped.
+    """
+
+    def __init__(self, logdir: Optional[str]):
+        self._w = None
+        if logdir:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+                self._w = SummaryWriter(logdir)
+            except Exception:  # tensorboard not installed — stay a no-op
+                self._w = None
+
+    @property
+    def active(self) -> bool:
+        return self._w is not None
+
+    def log(self, step: int, **fields: Any) -> None:
+        if self._w is None:
+            return
+        for k, v in _to_plain(fields).items():
+            if isinstance(v, (int, float)) and not isinstance(v, bool):
+                self._w.add_scalar(k, v, step)
+
+    def close(self) -> None:
+        if self._w is not None:
+            self._w.close()
+            self._w = None
+
+
 def _to_plain(obj):
     """Convert numpy/jax scalars and arrays to JSON-safe python values."""
     import numpy as np

@@ -1,6 +1,7 @@
 """Profiling and structured-logging utilities."""
 
 import json
+import os
 import time
 
 import pytest
@@ -46,6 +47,25 @@ def test_jsonl_logger_round_trip(tmp_path):
     assert lines[0]["fps"] == 12.5
     assert lines[0]["arr"] == [0, 1, 2]
     assert "ts" in lines[1]
+
+
+def test_tensorboard_scalars(tmp_path):
+    # No logdir -> inert no-op.
+    off = glog.TensorBoardScalars(None)
+    assert not off.active
+    off.log(0, loss=1.0)
+    off.close()
+
+    d = str(tmp_path / "tb")
+    tb = glog.TensorBoardScalars(d)
+    if not tb.active:   # tensorboard genuinely absent — no-op contract holds
+        return
+    tb.log(0, loss=jnp.float32(2.5), acc=0.5, name="skipped-non-scalar")
+    tb.log(1, loss=1.25)
+    tb.close()
+    import glob as _glob
+    files = _glob.glob(f"{d}/events.out.tfevents.*")
+    assert files and os.path.getsize(files[0]) > 0
 
 
 def test_apply_overrides_nested():

@@ -24,10 +24,13 @@ so no inf-inf NaNs).  Arbitrary (non-multiple) Ta/Tb are padded with
 sentinel rows/columns; the cost is read at the true corner cell, which
 padding can never influence (DP dependencies only point up/left).
 
-Scope: forward cost of ONE long pair (the long-context regime).  Batched
+Scope: ONE long pair (the long-context regime); batched normal-length
 training uses the single-device Pallas lane-batched wavefront
-(ops/pallas/softdtw_kernel); gradients through the sharded path are not
-defined (inference alignment only).
+(ops/pallas/softdtw_kernel).  The sharded path IS differentiable: the
+outer pipeline is a `lax.scan`, so `jax.grad` reverse-runs the exact
+schedule (boundary cotangents ride the transposed ppermute back up the
+mesh) and reproduces the Cuturi–Blondel E-matrix gradient — parity-tested
+against the hand-derived oracle.
 """
 
 from __future__ import annotations
@@ -134,7 +137,12 @@ def softdtw_cost_sharded(
         Dl = Dl.reshape(Ra, W * C)         # this device's row band
         p = jax.lax.axis_index(axis)
 
-        def body(s, state):
+        # lax.scan (not fori_loop) so the whole pipeline — including the
+        # ppermute exchanges — is reverse-differentiable: jax.grad of the
+        # cost w.r.t. D runs the Cuturi–Blondel E-recursion as the exact
+        # transpose of this schedule (boundary cotangents flow back UP the
+        # mesh through the transposed ppermute).
+        def body(state, s):
             left, top, corner_top, cost = state
             c = s - p
             valid = (c >= 0) & (c < C)
@@ -161,13 +169,14 @@ def softdtw_cost_sharded(
                 [(q, q + 1) for q in range(nP - 1)])
             # Corner for my NEXT chunk (c+1) is the last element of the
             # top row I used for THIS chunk.
-            return (left, sent, top[W - 1], cost)
+            return (left, sent, top[W - 1], cost), None
 
         init = (jnp.full((Ra,), _INF, jnp.float32),
                 jnp.full((W,), _INF, jnp.float32),
                 jnp.float32(_INF),
                 jnp.float32(0.0))
-        _, _, _, cost = jax.lax.fori_loop(0, nP + C - 1, body, init)
+        (_, _, _, cost), _ = jax.lax.scan(
+            body, init, jnp.arange(nP + C - 1))
         # Replicate the corner device's cost to everyone.
         cost = jax.lax.psum(jnp.where(p == p_star, cost, 0.0), axis)
         return cost[None]

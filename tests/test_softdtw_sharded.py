@@ -46,6 +46,20 @@ def test_sharded_cost_more_col_chunks():
     np.testing.assert_allclose(got, want, rtol=2e-5)
 
 
+def test_sharded_gradient_matches_e_recursion():
+    # jax.grad through the scan/ppermute pipeline must equal the
+    # Cuturi–Blondel E matrix (the hand-derived soft-DTW gradient).
+    rng = np.random.default_rng(13)
+    D = rng.uniform(0, 2, (32, 24)).astype(np.float32)
+    gamma = 0.5
+    _, R = softdtw.softdtw_reference(D.astype(np.float64), gamma)
+    want = softdtw.softdtw_grad_reference(D.astype(np.float64), R, gamma)
+    mesh = _mesh()
+    got = jax.grad(
+        lambda d: softdtw_cost_sharded(d, gamma, mesh))(jnp.asarray(D))
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-5)
+
+
 def test_sharded_matches_single_device_scan():
     # Agreement with the production single-device wavefront, not just the
     # float64 oracle (same f32 softmin conventions).

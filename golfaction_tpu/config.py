@@ -127,6 +127,22 @@ class ErrorConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class RefineConfig:
+    """Keypoint-sequence refiner (models/refine.py): graph-temporal second
+    stage that learns to undo the pose front's systematic fault-deflection
+    attenuation.  Opt-in: enabled=False keeps params/pipeline unchanged."""
+
+    enabled: bool = False
+    block_channels: tuple[int, ...] = (48, 48)
+    temporal_branches: tuple[tuple[int, int], ...] = ((3, 1), (3, 2), (3, 4))
+    channel_att_reduction: int = 4
+    # Residual clamp in torso-normalized units (~0.5 torso lengths): the
+    # refiner may amplify attenuated deflections, never teleport joints.
+    max_residual: float = 0.5
+    dtype: str = "bfloat16"
+
+
+@dataclasses.dataclass(frozen=True)
 class MeshConfig:
     """Device-mesh layout for pjit/shard_map (SURVEY.md §2 parallelism table)."""
 
@@ -144,6 +160,7 @@ class PipelineConfig:
     gcn: GCNConfig = GCNConfig()
     align: AlignConfig = AlignConfig()
     error: ErrorConfig = ErrorConfig()
+    refine: RefineConfig = RefineConfig()
     mesh: MeshConfig = MeshConfig()
     frame_batch: int = 32                        # frames per pose micro-batch
     # Clip lengths are padded up to the nearest bucket so jit never retraces.

@@ -93,6 +93,8 @@ class Pipeline:
         self.gcn_model = gcn_mod.create_gcn_model(c.gcn)
         self.align_model = align_mod.create_align_model(c.align)
         self.error_model = error_mod.create_error_model(c.error)
+        from golfaction_tpu.models import refine as refine_mod
+        self.refine_model = refine_mod.create_refine_model(c.refine)
         self.params = params if params is not None else self.init_params(seed)
         self.mesh = mesh
         if mesh is not None:
@@ -152,12 +154,17 @@ class Pipeline:
         sk = jnp.zeros((1, t0, c.gcn.num_joints, c.gcn.in_channels))
         valid = jnp.ones((1, t0), bool)
         phases = jnp.zeros((1, t0, c.gcn.num_phases))
-        return {
+        params = {
             "pose": self.pose_model.init(k1, crops),
             "gcn": self.gcn_model.init(k2, sk, valid),
             "align": self.align_model.init(k3, sk, valid),
             "error": self.error_model.init(k4, sk, phases, valid),
         }
+        if c.refine.enabled:
+            k5 = jax.random.split(k4)[0]
+            params["refine"] = self.refine_model.init(
+                k5, jnp.zeros((1, t0, c.gcn.num_joints, 3)), valid)
+        return params
 
     # ------------------------------------------------------------------
     # Jitted device programs
@@ -252,6 +259,11 @@ class Pipeline:
         """Full single-clip device program: pose -> GCN -> error."""
         c = self.cfg
         kpts = self._pose_fn(params, frames, boxes)           # [T, V, 3]
+        if "refine" in params:
+            # Graph-temporal keypoint refinement (models/refine.py): undoes
+            # the pose front's systematic fault-deflection attenuation.
+            kpts = self.refine_model.apply(
+                params["refine"], kpts[None], valid[None])[0]
         sk = gcn_mod.normalize_skeleton(kpts[None], valid[None])
         if c.gcn.inference_impl == "pallas" and jax.default_backend() == "tpu":
             from golfaction_tpu.ops.pallas import gcn_kernel

@@ -110,13 +110,23 @@ def detect_pose_in_frames(root: str) -> int:
 def config_for_artifacts(cfg, root: str):
     """Adapt a PipelineConfig to an artifacts tree: set pose.in_frames to
     the width the saved pose checkpoint was trained with (see
-    detect_pose_in_frames).  No-op when they already agree."""
+    detect_pose_in_frames), and enable the keypoint refiner when the tree
+    carries a trained `refine` checkpoint.  No-op when they agree."""
+    overrides = []
     nf = detect_pose_in_frames(root)
-    if nf == cfg.pose.in_frames:
+    if nf != cfg.pose.in_frames:
+        overrides.append(f"pose.in_frames={nf}")
+    base = os.path.join(root, "params") if os.path.isdir(
+        os.path.join(root, "params")
+    ) else root
+    has_refine = latest_step_dir(os.path.join(base, "refine")) is not None
+    if has_refine != cfg.refine.enabled:
+        overrides.append(f"refine.enabled={has_refine}")   # Python literal
+    if not overrides:
         return cfg
     from golfaction_tpu import config as cfg_mod
 
-    return cfg_mod.apply_overrides(cfg, [f"pose.in_frames={nf}"])
+    return cfg_mod.apply_overrides(cfg, overrides)
 
 
 def latest_step_dir(root: str) -> Optional[str]:

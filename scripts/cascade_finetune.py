@@ -42,6 +42,14 @@ def main():
     ap.add_argument("--lr", type=float, default=3e-4)
     ap.add_argument("--hw", type=int, nargs=2, default=(540, 960))
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--refine-steps", type=int, default=0,
+                    help="train the keypoint-sequence refiner "
+                         "(models/refine.py) on (predicted, GT) pairs for "
+                         "this many steps (0 = off); downstream GCN/error "
+                         "cascades then consume refined keypoints")
+    ap.add_argument("--refine-fault-weight", type=float, default=3.0,
+                    help="refiner loss upweight for fault-displaced "
+                         "joints/frames (SwingSample.fault_defl)")
     args = ap.parse_args()
 
     import jax
@@ -123,6 +131,111 @@ def main():
         noise[:, tt] = rho * noise[:, tt - 1] + rng_aug.normal(
             0, innov, noise[:, 0].shape)
     aug_k[..., :2] += noise * sigma_v
+
+    def _next_step(tag):
+        cur = checkpoint.latest_step_dir(f"{args.artifacts}/params/{tag}")
+        base = int(cur.rsplit("_", 1)[1]) if cur else 0
+        return base + 1
+
+    # ---- 1b. Optional: train the keypoint-sequence refiner ----
+    # Inputs mirror runtime (real pipeline predictions) plus an infinite
+    # stream of synthetic attenuated pairs: input = clean + (faulty -
+    # clean) * g + AR(1) noise, target = faulty — directly teaching the
+    # inverse of the pose front's measured per-joint attenuation.
+    refine_apply = None
+    if args.refine_steps > 0:
+        from golfaction_tpu.models import refine as refine_mod
+
+        rmodel = refine_mod.create_refine_model(cfg.refine)
+        rng_r = np.random.default_rng(77)
+        rparams = rmodel.init(jax.random.key(7),
+                              jnp.zeros((1, T, 17, 3)), jnp.ones((1, T), bool))
+        rtx = optax.adamw(1e-3, weight_decay=1e-4)
+        ropt = rtx.init(rparams)
+
+        defl_rend = np.stack([
+            s.fault_defl if s.fault_defl is not None
+            else np.zeros((T, 17), np.float32) for s in samples])
+        scale_px = 0.65 * args.hw[0] / 2.0      # torso-ish px scale
+
+        def refine_loss(params, batch):
+            inp, tgt, w, v = batch
+            out = rmodel.apply(params, inp, v)
+            err = ((out[..., :2] - tgt[..., :2]) / scale_px) ** 2
+            err = (err.sum(-1) * w * v[..., None]).sum() / jnp.maximum(
+                (w * v[..., None]).sum(), 1.0)
+            return err, {}
+
+        rstep = loops._make_step(refine_loss, rtx)
+        halfr = max(args.batch_size // 2, 1)
+
+        def _weights(defl):
+            return 1.0 + args.refine_fault_weight * np.minimum(
+                defl / 15.0, 2.0) / 2.0
+
+        def refine_batch(i):
+            # Half: real pipeline pairs from the rendered pool.
+            idx = rng_r.choice(len(samples), size=halfr, replace=False)
+            inp_r = np.asarray(pred_kpts)[idx]
+            tgt_r = gt[idx]
+            w_r = _weights(defl_rend[idx])
+            # Half: fresh synthetic attenuated pairs.
+            inp_s, tgt_s, w_s = [], [], []
+            for j in range(halfr):
+                rd = np.random.default_rng(700_000 + i * 97 + j)
+                faults = {}
+                if rd.uniform() < 0.7:
+                    kk = rd.integers(1, 3)
+                    for name in rd.choice(cfg_mod.SWING_ERRORS, size=kk,
+                                          replace=False):
+                        faults[str(name)] = float(rd.uniform(0.3, 1.0))
+                tempo = float(rd.uniform(-0.8, 0.8))
+                seed_b = 710_000 + i * 97 + j
+                sf = data.swing_keypoints(T, np.random.default_rng(seed_b),
+                                          tempo_warp=tempo, faults=faults)
+                sc = data.swing_keypoints(T, np.random.default_rng(seed_b),
+                                          tempo_warp=tempo)
+                sf = data.place_in_image(sf, tuple(args.hw),
+                                         person_height_px=0.65 * args.hw[0],
+                                         rng=np.random.default_rng(seed_b + 1))
+                sc = data.place_in_image(sc, tuple(args.hw),
+                                         person_height_px=0.65 * args.hw[0],
+                                         rng=np.random.default_rng(seed_b + 1))
+                g = rd.uniform(0.35, 1.0, (1, 17, 1))
+                inp1 = sc.keypoints + (sf.keypoints - sc.keypoints) * g
+                nz1 = np.empty((T, 17, 2), np.float32)
+                nz1[0] = rd.normal(0, 1.0, (17, 2))
+                for tt in range(1, T):
+                    nz1[tt] = rho * nz1[tt - 1] + rd.normal(0, innov, (17, 2))
+                inp1 = inp1.copy()
+                inp1[..., :2] += nz1 * sigma_v[0]
+                inp_s.append(inp1)
+                tgt_s.append(sf.keypoints)
+                w_s.append(_weights(sf.fault_defl))
+            inp = jnp.asarray(np.concatenate([inp_r, np.stack(inp_s)]))
+            tgt = jnp.asarray(np.concatenate([tgt_r, np.stack(tgt_s)]))
+            w = jnp.asarray(np.concatenate([w_r, np.stack(w_s)]))
+            v = jnp.ones(inp.shape[:2], bool)
+            return inp, tgt, w, v
+
+        log(f"[refine] training {args.refine_steps} steps ...")
+        for i in range(args.refine_steps):
+            rparams, ropt, aux = rstep(rparams, ropt, refine_batch(i))
+            if i % max(args.refine_steps // 5, 1) == 0 \
+                    or i == args.refine_steps - 1:
+                log(f"[refine-cascade] step {i} "
+                    f"loss {float(aux['loss']):.5f}")
+        ref_ck = checkpoint.save_params(f"{args.artifacts}/params/refine",
+                                        rparams, step=_next_step("refine"))
+        log(f"[refine] saved {ref_ck}")
+        refine_apply = jax.jit(lambda k, v: rmodel.apply(rparams, k, v))
+        # Downstream cascades consume refined keypoints — runtime parity.
+        pred_kpts = np.asarray(refine_apply(
+            jnp.asarray(pred_kpts), jnp.ones(pred_kpts.shape[:2], bool)))
+        aug_k = np.asarray(refine_apply(
+            jnp.asarray(aug_k), jnp.ones(aug_k.shape[:2], bool)))
+        pipe.params = dict(pipe.params, refine=rparams)
+
     pred_kpts = np.concatenate([pred_kpts, aug_k])
     labels = np.concatenate([labels, np.stack([s.phase_labels for s in aug])])
     flags = np.concatenate([flags, np.stack([s.error_flags for s in aug])])
@@ -157,11 +270,6 @@ def main():
         if i % max(args.steps // 5, 1) == 0 or i == args.steps - 1:
             log(f"[gcn-cascade] step {i} loss {float(aux['loss']):.4f} "
                 f"acc {float(aux['acc']):.4f}")
-    def _next_step(tag):
-        cur = checkpoint.latest_step_dir(f"{args.artifacts}/params/{tag}")
-        base = int(cur.rsplit("_", 1)[1]) if cur else 0
-        return base + 1
-
     gcn_ck = checkpoint.save_params(f"{args.artifacts}/params/gcn", gparams,
                                     step=_next_step("gcn"))
 
@@ -251,6 +359,8 @@ def main():
         fk[..., :2] += nz * sigma_v
         fk = jnp.asarray(fk)
         v_f = jnp.ones((half, T), bool)
+        if refine_apply is not None:   # runtime parity: head sees refined
+            fk = refine_apply(fk, v_f)
         sk_f = gcn_mod.normalize_skeleton(fk, v_f)  # GCN wants normalized
         fl_f = jnp.asarray(np.stack([s.error_flags for s in fresh]))
         idx = jnp.asarray(rng.choice(N, size=half, replace=False))

@@ -39,7 +39,6 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 try:                                    # jax >= 0.8
     from jax import shard_map
 except ImportError:                     # pragma: no cover — older jax
@@ -193,9 +192,3 @@ def softdtw_cost_sharded(
     # Each device returns the same scalar (as a length-1 chunk of a
     # sharded length-nP vector); take element 0.
     return fn(Dp)[0]
-
-
-def softdtw_cost_sharded_reference(D: np.ndarray, gamma: float) -> float:
-    """Oracle alias (the single-device NumPy DP) for parity tests."""
-    from golfaction_tpu.ops.softdtw import softdtw_reference
-    return softdtw_reference(np.asarray(D, np.float64), gamma)[0]

@@ -93,25 +93,27 @@ def _run_training(
     tb = TensorBoardScalars(getattr(train_cfg, "tb_logdir", None))
 
     history = []
-    for step in range(start_step, train_cfg.total_steps):
-        params, opt_state, aux = step_fn(params, opt_state, batch_fn(step))
-        if step % log_every == 0 or step == train_cfg.total_steps - 1:
-            rec = {"step": step, "loss": float(aux["loss"])}
-            rec.update({k: float(aux[k]) for k in aux_keys})
-            history.append(rec)
-            tb.log(step, **{k: v for k, v in rec.items() if k != "step"})
-        if (
-            checkpoint_tag
-            and train_cfg.checkpoint_every > 0
-            and (step + 1) % train_cfg.checkpoint_every == 0
-        ):
-            ckpt_mod.save_params(
-                f"{train_cfg.checkpoint_dir}/{checkpoint_tag}",
-                {"params": params, "opt_state": opt_state,
-                 "step": np.int32(step + 1)},
-                step=step + 1,
-            )
-    tb.close()
+    try:
+        for step in range(start_step, train_cfg.total_steps):
+            params, opt_state, aux = step_fn(params, opt_state, batch_fn(step))
+            if step % log_every == 0 or step == train_cfg.total_steps - 1:
+                rec = {"step": step, "loss": float(aux["loss"])}
+                rec.update({k: float(aux[k]) for k in aux_keys})
+                history.append(rec)
+                tb.log(step, **{k: v for k, v in rec.items() if k != "step"})
+            if (
+                checkpoint_tag
+                and train_cfg.checkpoint_every > 0
+                and (step + 1) % train_cfg.checkpoint_every == 0
+            ):
+                ckpt_mod.save_params(
+                    f"{train_cfg.checkpoint_dir}/{checkpoint_tag}",
+                    {"params": params, "opt_state": opt_state,
+                     "step": np.int32(step + 1)},
+                    step=step + 1,
+                )
+    finally:
+        tb.close()   # flush buffered scalars even when a step raises
     return TrainState(params, opt_state, train_cfg.total_steps), history
 
 
@@ -413,11 +415,22 @@ def train_pose(
             c = (c - m) * jnp.asarray(contr * cast) + m + jnp.asarray(bright)
             # Low-frequency multiplicative shading (lens vignette / uneven
             # lighting): per-crop linear gain field over the crop plane.
+            # Crops are ImageNet-standardized (p - mean)/std, so a true
+            # pixel-space gain p' = g*p maps to g*c + (g-1)*mean/std — the
+            # additive term dominates (mean/std ≈ 2) and is what actually
+            # darkens toward black rather than toward mid-gray.
             yy = np.linspace(-0.5, 0.5, H, dtype=np.float32)[None, :, None, None]
             xx = np.linspace(-0.5, 0.5, W_, dtype=np.float32)[None, None, :, None]
             ga = rng.uniform(-0.5, 0.5, (B, 1, 1, 1)).astype(np.float32)
             gb = rng.uniform(-0.5, 0.5, (B, 1, 1, 1)).astype(np.float32)
-            c = c * jnp.asarray(np.clip(1.0 + ga * yy + gb * xx, 0.4, 1.6))
+            g = np.clip(1.0 + ga * yy + gb * xx, 0.4, 1.6)
+            from golfaction_tpu.ops.preprocess import (IMAGENET_MEAN,
+                                                       IMAGENET_STD)
+            k_ms = np.tile(
+                (np.asarray(IMAGENET_MEAN, np.float32)
+                 / np.asarray(IMAGENET_STD, np.float32))[None, None, None],
+                (1, 1, 1, C // 3))
+            c = c * jnp.asarray(g) + jnp.asarray((g - 1.0) * k_ms)
             sig = rng.uniform(0, 0.08, (B, 1, 1, 1)).astype(np.float32)
             c = c + jnp.asarray(rng.normal(0, 1, c.shape).astype(np.float32)
                                 * sig)

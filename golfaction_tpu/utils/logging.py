@@ -55,9 +55,11 @@ class TensorBoardScalars:
         if logdir:
             try:
                 from torch.utils.tensorboard import SummaryWriter
-                self._w = SummaryWriter(logdir)
-            except Exception:  # tensorboard not installed — stay a no-op
-                self._w = None
+            except ImportError:   # tensorboard not installed — stay a no-op
+                return
+            # Real construction errors (bad/unwritable logdir, ...) must
+            # surface: the user explicitly asked for scalars.
+            self._w = SummaryWriter(logdir)
 
     @property
     def active(self) -> bool:

@@ -143,6 +143,21 @@ def main():
     # clean) * g + AR(1) noise, target = faulty — directly teaching the
     # inverse of the pose front's measured per-joint attenuation.
     refine_apply = None
+    if args.refine_steps == 0 and "refine" in pipe.params:
+        # A trained refiner is already in the artifacts tree and WILL run
+        # at inference (config_for_artifacts auto-enables it): the cascades
+        # below must train on refined keypoints or the heads see a
+        # distribution the runtime never produces.
+        from golfaction_tpu.models import refine as refine_mod
+
+        log("[refine] applying restored refiner to cascade inputs")
+        rmodel0 = refine_mod.create_refine_model(cfg.refine)
+        rp0 = pipe.params["refine"]
+        refine_apply = jax.jit(lambda k, v: rmodel0.apply(rp0, k, v))
+        pred_kpts = np.asarray(refine_apply(
+            jnp.asarray(pred_kpts), jnp.ones(pred_kpts.shape[:2], bool)))
+        aug_k = np.asarray(refine_apply(
+            jnp.asarray(aug_k), jnp.ones(aug_k.shape[:2], bool)))
     if args.refine_steps > 0:
         from golfaction_tpu.models import refine as refine_mod
 
@@ -167,7 +182,7 @@ def main():
             return err, {}
 
         rstep = loops._make_step(refine_loss, rtx)
-        halfr = max(args.batch_size // 2, 1)
+        halfr = max(min(args.batch_size // 2, len(samples)), 1)
 
         def _weights(defl):
             return 1.0 + args.refine_fault_weight * np.minimum(

@@ -186,10 +186,12 @@ def _make_pipeline(orchestrator, cfg, dev, seed=0):
         except Exception:
             cpu0 = None
         params = {}
-        for name in ("pose", "gcn", "align", "error"):
+        for name in ("pose", "gcn", "align", "error", "refine"):
             step_dir = ckpt_mod.latest_step_dir(
                 os.path.join(art, "params", name))
             if step_dir is None:
+                if name == "refine":   # optional second stage — see
+                    continue           # models/refine.py
                 raise FileNotFoundError(f"no checkpoint for {name}")
             params[name] = ckpt_mod.restore_params(step_dir, device=cpu0)
         params = jax.device_put(params, dev)

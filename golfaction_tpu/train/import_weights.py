@@ -94,3 +94,123 @@ def import_torch_state_dict(
         missing = [s["flax"] for s in skipped if "kernel" in s["flax"]]
         raise ValueError(f"strict import failed; unmatched kernels: {missing}")
     return jax.tree.unflatten(treedef, new_leaves), report
+
+
+# ---------------------------------------------------------------------------
+# Order-preserving pose import
+# ---------------------------------------------------------------------------
+#
+# The greedy matcher above cannot disambiguate same-shaped tensors (every
+# GroupNorm scale/bias at one width looks alike), and jax.tree flattening
+# sorts module names lexically, NOT in forward order — so for a deep model
+# a greedy import silently cross-maps normalization parameters between
+# layers.  For the pose net we know the exact forward order from the
+# config, and a torch state_dict is an ordered mapping in definition
+# order, so position-by-position matching is exact.
+
+def pose_param_order(cfg) -> list[tuple[str, ...]]:
+    """Flax param paths of models.pose.PoseNet in FORWARD (definition)
+    order, derived from the config.  Mirrors PoseNet.__call__ exactly
+    (models/pose.py) — update both together."""
+    order: list[tuple[str, ...]] = []
+
+    def gn(mod):
+        order.append((mod, "scale"))
+        order.append((mod, "bias"))
+
+    # Stem.
+    order.append(("Conv_0", "kernel"))
+    gn("GroupNorm_0")
+
+    # Stages of ResBlocks.
+    in_ch = 64
+    rb = 0
+    for i, (blocks, ch) in enumerate(zip(cfg.stage_blocks, cfg.stage_channels)):
+        for b in range(blocks):
+            stride = 2 if (b == 0 and i > 0) else 1
+            base = f"ResBlock_{rb}"
+            order.append((base, "Conv_0", "kernel"))
+            order.append((base, "GroupNorm_0", "scale"))
+            order.append((base, "GroupNorm_0", "bias"))
+            order.append((base, "Conv_1", "kernel"))
+            order.append((base, "GroupNorm_1", "scale"))
+            order.append((base, "GroupNorm_1", "bias"))
+            if in_ch != ch or stride != 1:   # projection shortcut
+                order.append((base, "Conv_2", "kernel"))
+                order.append((base, "GroupNorm_2", "scale"))
+                order.append((base, "GroupNorm_2", "bias"))
+            in_ch = ch
+            rb += 1
+
+    # Deconv head (+ the stride-matching extras PoseNet appends).
+    backbone_stride = 4 * 2 ** (len(cfg.stage_blocks) - 1)
+    cur_stride = backbone_stride // (2 ** len(cfg.deconv_channels))
+    target_stride = cfg.input_hw[0] // cfg.heatmap_hw[0]
+    n_deconv = len(cfg.deconv_channels)
+    while cur_stride > target_stride:
+        n_deconv += 1
+        cur_stride //= 2
+    for j in range(n_deconv):
+        order.append((f"ConvTranspose_{j}", "kernel"))
+        gn(f"GroupNorm_{1 + j}")
+
+    # Final 1x1 conv (has a bias).
+    order.append(("Conv_1", "kernel"))
+    order.append(("Conv_1", "bias"))
+    return order
+
+
+def import_torch_pose(params, state_dict, cfg, strict: bool = True):
+    """Order-preserving import of a torch pose checkpoint into PoseNet
+    params.
+
+    Walks the flax leaves in FORWARD order (pose_param_order) and the
+    torch state_dict in its own (definition) order with two pointers; each
+    flax leaf takes the next torch tensor that converts to its shape.
+    Non-convertible torch tensors (e.g. BatchNorm running statistics when
+    importing a BN checkpoint into this GN model) are skipped and
+    reported.  `params` is the PoseNet init tree {'params': {...}}.
+    """
+    inner = params["params"] if "params" in params else params
+    order = pose_param_order(cfg)
+    sources = [(k, _to_numpy(v)) for k, v in state_dict.items()
+               if not k.endswith("num_batches_tracked")
+               and "running_mean" not in k and "running_var" not in k]
+    si = 0
+    imported, skipped = [], []
+    new_inner = jax.tree.map(lambda x: x, inner)   # shallow-ish copy
+    for path in order:
+        node = new_inner
+        for p in path[:-1]:
+            node = node[p]
+        leaf = node[path[-1]]
+        shape = tuple(np.shape(leaf))
+        conv = None
+        while si < len(sources):
+            sk, sv = sources[si]
+            conv = _convert_kernel(sv, shape)
+            if conv is not None:
+                break
+            skipped.append({"torch": sk, "reason": "no conversion",
+                            "shape": list(np.shape(sv))})
+            si += 1
+        if conv is None:
+            if strict:
+                raise ValueError(
+                    f"ordered import exhausted sources at flax {path}")
+            continue
+        node[path[-1]] = conv.astype(np.asarray(leaf).dtype)
+        imported.append({"flax": "/".join(path), "torch": sources[si][0],
+                         "shape": list(shape)})
+        si += 1
+    report = {
+        "imported": imported,
+        "skipped_torch": skipped
+        + [{"torch": k, "reason": "unused"} for k, _ in sources[si:]],
+        "coverage": len(imported) / max(len(order), 1),
+    }
+    out = dict(params)
+    if "params" in params:
+        out["params"] = new_inner
+        return out, report
+    return new_inner, report

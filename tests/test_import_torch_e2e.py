@@ -114,10 +114,18 @@ def test_torch_pose_import_forward_parity():
     np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
 
 
-def test_pose_param_order_covers_all_leaves():
-    model = pose_mod.create_pose_model(CFG)
-    params = model.init(jax.random.key(0), jnp.zeros((1, *CFG.input_hw, 3)))
-    order = import_weights.pose_param_order(CFG)
+@pytest.mark.parametrize("cfg", [
+    CFG,
+    # 3 stages + 1 declared deconv -> the stride-matching while-loop in
+    # PoseNet appends an extra deconv/GN pair the order must include.
+    cfg_mod.PoseConfig(input_hw=(64, 48), heatmap_hw=(16, 12),
+                       stage_blocks=(1, 1, 1), stage_channels=(64, 96, 128),
+                       deconv_channels=(64,), dtype="float32"),
+])
+def test_pose_param_order_covers_all_leaves(cfg):
+    model = pose_mod.create_pose_model(cfg)
+    params = model.init(jax.random.key(0), jnp.zeros((1, *cfg.input_hw, 3)))
+    order = import_weights.pose_param_order(cfg)
     flat = {tuple(str(k.key) for k in path): None
             for path, _ in jax.tree_util.tree_flatten_with_path(
                 params["params"])[0]}

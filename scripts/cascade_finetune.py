@@ -224,6 +224,18 @@ def main():
                     nz1[tt] = rho * nz1[tt - 1] + rd.normal(0, innov, (17, 2))
                 inp1 = inp1.copy()
                 inp1[..., :2] += nz1 * sigma_v[0]
+                # Attenuation-correlated confidence: at runtime the decoder
+                # scores an attenuated (blurred/occluded) joint LOW — that
+                # score is the refiner's cue for where to amplify.  The
+                # synthetic pairs must carry it or half the training data
+                # teaches "confidence is meaningless".
+                defl_on = (np.abs(sf.keypoints[..., :2]
+                                  - sc.keypoints[..., :2]).sum(-1,
+                                                               keepdims=True)
+                           > 1e-6)
+                score = (1.0 - 0.6 * (1.0 - g) * defl_on
+                         + rd.normal(0, 0.05, (T, 17, 1)))
+                inp1[..., 2:] = np.clip(score, 0.05, 1.0)
                 inp_s.append(inp1)
                 tgt_s.append(sf.keypoints)
                 w_s.append(_weights(sf.fault_defl))

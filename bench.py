@@ -659,8 +659,31 @@ def supervise(args, extra_argv):
     if last_json is not None:
         print(json.dumps(last_json), flush=True)
         return 0
+    if os.environ.get("JAX_PLATFORMS", "") == "axon" and not _axon_tunnel_up():
+        # Machine-readable infra failure: better for the record than
+        # silence.  No fabricated numbers — value stays null.
+        _log("[supervisor] axon tunnel unreachable — reporting infra error")
+        print(json.dumps({
+            "metric": "end_to_end_fps_1080p", "value": None,
+            "unit": "frames/sec/chip", "vs_baseline": None,
+            "error": "tpu-tunnel-unreachable",
+        }), flush=True)
+        return 0
     _log("[supervisor] worker produced no JSON")
     return proc.returncode or 1
+
+
+def _axon_tunnel_up(port: int = 8082) -> bool:
+    """True when the axon leader endpoint accepts connections (the tunnel
+    outages of 2026-08-18 present as a connection-refused :8082 and a
+    worker that hangs inside jax device init forever)."""
+    import socket
+
+    try:
+        with socket.create_connection(("127.0.0.1", port), timeout=3):
+            return True
+    except OSError:
+        return False
 
 
 def main():

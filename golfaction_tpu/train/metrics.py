@@ -95,6 +95,35 @@ def error_detection_metrics(probs, flags, threshold: float = 0.5):
     return {"precision": precision, "recall": recall, "f1": f1}
 
 
+def error_detection_per_fault(probs, flags, threshold=0.5):
+    """Per-fault precision/recall/F1 breakdown (VERDICT r3 #2 asks the
+    e2e artifact to carry it).  threshold: scalar or [E] per-fault array.
+    Returns {fault_name: {precision, recall, f1, support}}."""
+    import numpy as np
+
+    from golfaction_tpu import config as cfg_mod
+
+    probs = np.asarray(probs)
+    flags = np.asarray(flags) > 0.5
+    thr = np.broadcast_to(np.asarray(threshold, np.float32),
+                          (probs.shape[-1],))
+    out = {}
+    for e, name in enumerate(cfg_mod.SWING_ERRORS):
+        pred = probs[:, e] > thr[e]
+        gt = flags[:, e]
+        tp = float((pred & gt).sum())
+        fp = float((pred & ~gt).sum())
+        fn = float((~pred & gt).sum())
+        p = tp / max(tp + fp, 1e-9)
+        r = tp / max(tp + fn, 1e-9)
+        out[name] = {
+            "precision": round(p, 4), "recall": round(r, 4),
+            "f1": round(2 * p * r / max(p + r, 1e-9), 4),
+            "support": int(gt.sum()),
+        }
+    return out
+
+
 def calibrate_error_thresholds(probs, truth, log=None):
     """Per-fault decision thresholds maximizing F1 on pooled probabilities.
 

@@ -141,6 +141,9 @@ def main():
         "phase_acc_mean": float(np.mean(accs)),
         "phase_f1_mean": float(np.mean(f1s)),
         "error_detection": {k: float(v) for k, v in em.items()},
+        "error_detection_per_fault": metrics.error_detection_per_fault(
+            np.stack(err_pred), np.stack(err_true),
+            thr if thr is not None else 0.5),
         "align_progress_err_mean": float(np.mean(prog_errs)),
         "comparison_video": video_path,
     }

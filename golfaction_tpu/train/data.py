@@ -108,12 +108,22 @@ def swing_keypoints(
     style_jitter: float = 0.02,
     noise: float = 0.003,
     faults: Optional[dict[str, float]] = None,
+    arm_wander: float = 0.0,
 ) -> SwingSample:
     """Generate one swing in the unit body frame (no rendering).
 
     tempo_warp in [-1, 1]: power-law time warp (slow-start vs fast-start),
     the ground-truth correspondence used by alignment training.
     faults: {error_name: severity} perturbations matching config.SWING_ERRORS.
+    arm_wander > 0 adds smooth low-frequency random displacement to the
+    elbows/wrists on top of the canonical articulation (amplitude in body
+    units, comparable to fault deflections at ~0.1).  Pose-pool-only
+    augmentation: it makes "the arm is wherever the pixels say" the only
+    consistent hypothesis, so the net cannot learn a canonical-arm prior
+    (the measured failure mode behind chicken_wing transfer gain 0.11-0.21:
+    predicted elbow 2-8 px from CANONICAL, 18-24 px from truth, while the
+    deflection is clearly visible — BASELINE.md round 3).  Counted in
+    fault_defl so fault-aware sampling/loss boosts supervise it.
     """
     V = graph.NUM_JOINTS
     t_lin = np.linspace(0, 1, num_frames)
@@ -172,8 +182,20 @@ def swing_keypoints(
         elif name == "head_movement":
             kpts[:, [0, 1, 2, 3, 4], 0] += sev * 0.12 * np.sin(theta * 2)[:, None]
 
+    if arm_wander > 0:
+        # Smooth per-joint wander: a handful of control points cosine-free
+        # linearly interpolated over the clip, amplitude jittered per clip.
+        amp = arm_wander * rng.uniform(0.3, 1.0)
+        n_ctrl = max(3, num_frames // 10)
+        x = np.linspace(0, n_ctrl - 1, num_frames)
+        for j in (7, 8, 9, 10):
+            for d in (0, 1):
+                ctrl = rng.normal(0.0, amp, n_ctrl)
+                kpts[:, j, d] += np.interp(x, np.arange(n_ctrl), ctrl)
+
     # Per-frame/per-joint fault deflection — how far the injected faults
-    # moved each joint off the canonical trajectory (unit body frame;
+    # (and arm wander, when enabled) moved each joint off the canonical
+    # trajectory (unit body frame;
     # place_in_image scales it to pixels).  Pose training uses it to
     # oversample + upweight exactly the frames/joints a fault displaces:
     # faults like chicken_wing live in a handful of follow-through frames
@@ -735,6 +757,7 @@ def make_swing_batch(
     camera_jitter: float = 0.0,
     sev_range: tuple[float, float] = (0.6, 1.0),
     scene_families: Optional[tuple] = None,
+    arm_wander: float = 0.0,
 ) -> list[SwingSample]:
     """Batch of varied swings (tempo, style, faults); optionally rendered.
 
@@ -760,6 +783,7 @@ def make_swing_batch(
             num_frames, rng,
             tempo_warp=float(rng.uniform(-0.8, 0.8)),
             faults=faults,
+            arm_wander=arm_wander,
         )
         if image_hw is not None:
             s = place_in_image(s, image_hw, person_height_px=0.65 * image_hw[0], rng=rng)

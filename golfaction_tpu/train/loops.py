@@ -276,6 +276,7 @@ def train_pose(
     pool_fault_prob: float | None = None,
     fault_frame_boost: float = 0.0,
     fault_joint_boost: float = 0.0,
+    arm_wander: float = 0.0,
 ):
     """Pose training.  pool_clips > 0 pre-renders that many clips ONCE and
     samples batches from the pool each step — rendering (host NumPy) is ~100x
@@ -328,6 +329,10 @@ def train_pose(
         fault_kw = {}
         if pool_fault_prob is not None:
             fault_kw = dict(fault_prob=pool_fault_prob, sev_range=(0.3, 1.0))
+        if arm_wander > 0:
+            # Pose-pool-only: smooth random elbow/wrist wander kills the
+            # canonical-arm prior (see data.swing_keypoints docstring).
+            fault_kw["arm_wander"] = arm_wander
         pool = data_mod.make_swing_batch(
             pool_clips - half, frames_per_clip, seed=train_cfg.seed,
             image_hw=image_hw, render=True,

@@ -58,6 +58,11 @@ def main():
     ap.add_argument("--fault-joint-boost", type=float, default=2.0,
                     help="heatmap-loss upweight for exactly the joints a "
                          "fault displaced, scaled by deflection")
+    ap.add_argument("--arm-wander", type=float, default=0.0,
+                    help="smooth random elbow/wrist wander amplitude (body "
+                         "units, ~0.1) in the pose render pool — kills the "
+                         "canonical-arm prior behind chicken_wing "
+                         "attenuation (pose pool only)")
     args = ap.parse_args()
 
     import jax
@@ -214,7 +219,8 @@ def main():
                 fast_frame_boost=args.fast_frame_boost,
                 pool_fault_prob=args.pool_fault_prob,
                 fault_frame_boost=args.fault_frame_boost,
-                fault_joint_boost=args.fault_joint_boost)
+                fault_joint_boost=args.fault_joint_boost,
+                arm_wander=args.arm_wander)
             ck = checkpoint.save_params(f"{args.out}/params/pose", state.params,
                                         step=state.step)
         # Eval PCK@0.05 through the full preprocess->pose->decode path.

@@ -66,6 +66,28 @@ def test_fault_defl_tracks_injected_deflection():
                                rtol=1e-5)
 
 
+def test_arm_wander_displaces_arms_smoothly_and_counts_in_fault_defl():
+    clean = data.swing_keypoints(60, np.random.default_rng(5), style_jitter=0.0,
+                                 noise=0.0)
+    wand = data.swing_keypoints(60, np.random.default_rng(5), style_jitter=0.0,
+                                noise=0.0, arm_wander=0.1)
+    delta = np.linalg.norm(
+        wand.keypoints[..., :2] - clean.keypoints[..., :2], axis=-1)
+    # Only elbows/wrists (7-10) move; deflection is counted in fault_defl.
+    arm = delta[:, [7, 8, 9, 10]]
+    rest = np.delete(delta, [7, 8, 9, 10], axis=1)
+    assert arm.max() > 0.02 and rest.max() < 1e-9
+    np.testing.assert_allclose(wand.fault_defl, delta, atol=1e-5)
+    # Smooth: the wander component's per-frame step is a small fraction of
+    # its overall excursion (the swing's own articulation is excluded).
+    wander = wand.keypoints[:, 7, :2] - clean.keypoints[:, 7, :2]
+    step = np.abs(np.diff(wander, axis=0)).max()
+    assert step < 0.25 * np.abs(wander).max()
+    # Phase labels / progress / flags untouched.
+    np.testing.assert_array_equal(wand.phase_labels, clean.phase_labels)
+    assert wand.error_flags.sum() == 0
+
+
 def test_place_in_image_boxes_contain_keypoints():
     rng = np.random.default_rng(3)
     s = data.swing_keypoints(30, rng)

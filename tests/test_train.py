@@ -52,7 +52,7 @@ def test_pose_training_reduces_loss():
                                    clips_per_epoch=1, frames_per_clip=8, log_every=1,
                                    pool_clips=6, pool_fault_prob=0.7,
                                    fast_frame_boost=2.0, fault_frame_boost=2.0,
-                                   fault_joint_boost=2.0)
+                                   fault_joint_boost=2.0, arm_wander=0.1)
     assert hist[-1]["loss"] < hist[0]["loss"]
 
 

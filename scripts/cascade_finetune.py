@@ -50,6 +50,12 @@ def main():
     ap.add_argument("--refine-fault-weight", type=float, default=3.0,
                     help="refiner loss upweight for fault-displaced "
                          "joints/frames (SwingSample.fault_defl)")
+    ap.add_argument("--gain-profile", default=None,
+                    help="probe_arm_gain.json with the promoted pose "
+                         "front's measured per-fault/per-joint deflection "
+                         "gains; conditions the synthetic attenuation "
+                         "sampling on it (default: "
+                         "<artifacts>/probe_arm_gain.json when present)")
     args = ap.parse_args()
 
     import jax
@@ -340,6 +346,28 @@ def main():
     half = max(args.batch_size // 2, 1)
     gcn_fwd = jax.jit(lambda p, s, v: gcn_model.apply(p, s, v))
 
+    # Measured attenuation profile: condition the simulated per-joint gain
+    # on the promoted pose front's probe (scripts/probe_arm_gain.py).  The
+    # broad U(0.35, 1) prior misses measured reality — e.g. chicken_wing's
+    # elbow passes at gain ~0.18, BELOW the prior's floor, so a head
+    # trained on the prior alone never sees the attenuation level it must
+    # detect at runtime.
+    gain_tab = None
+    prof_path = args.gain_profile or f"{args.artifacts}/probe_arm_gain.json"
+    if os.path.exists(prof_path):
+        with open(prof_path) as f:
+            _prof = json.load(f)
+        gain_tab = np.full((len(cfg_mod.SWING_ERRORS), 17), np.nan,
+                           np.float32)
+        for _e, _name in enumerate(cfg_mod.SWING_ERRORS):
+            per_joint = _prof.get("faults", {}).get(_name, {}).get(
+                "per_joint_gain", {})
+            for _js, _gv in per_joint.items():
+                gain_tab[_e, int(_js)] = _gv
+        log(f"attenuation sampling conditioned on measured profile "
+            f"{prof_path} ({int(np.isfinite(gain_tab).sum())} fault-joint "
+            f"gains)")
+
     def _fresh_pairs(i):
         """half (faulty, clean-counterpart) clips sharing style/tempo/noise
         (swing_keypoints draws no randomness inside its fault branches, so
@@ -376,7 +404,22 @@ def main():
         # ~0.88 on the head); simulate by blending each faulty clip toward
         # its clean counterpart with a random per-joint gain.
         fresh, fk, ck = _fresh_pairs(i)
-        g = rng_aug.uniform(0.35, 1.0, (half, 1, fk.shape[2], 1))
+        g = rng_aug.uniform(0.35, 1.0, (half, fk.shape[2]))
+        if gain_tab is not None:
+            for bi, s in enumerate(fresh):
+                active = np.flatnonzero(np.asarray(s.error_flags) > 0.5)
+                # keep a broad-uniform share so the head stays robust to
+                # gains off the measured profile
+                if active.size == 0 or rng_aug.random() < 0.3:
+                    continue
+                ga = np.where(np.isnan(gain_tab[active]), np.inf,
+                              gain_tab[active])
+                m = ga.min(axis=0)          # worst-case across active faults
+                meas = np.isfinite(m)
+                g[bi, meas] = np.clip(
+                    m[meas] * rng_aug.uniform(0.6, 1.4, int(meas.sum())),
+                    0.05, 1.0)
+        g = g[:, None, :, None]
         fk = ck + (fk - ck) * g
         nz = np.empty((half, T, fk.shape[2], 2), np.float32)
         nz[:, 0] = rng_aug.normal(0, 1.0, nz[:, 0].shape)

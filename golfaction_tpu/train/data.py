@@ -122,8 +122,10 @@ def swing_keypoints(
     consistent hypothesis, so the net cannot learn a canonical-arm prior
     (the measured failure mode behind chicken_wing transfer gain 0.11-0.21:
     predicted elbow 2-8 px from CANONICAL, 18-24 px from truth, while the
-    deflection is clearly visible — BASELINE.md round 3).  Counted in
-    fault_defl so fault-aware sampling/loss boosts supervise it.
+    deflection is clearly visible — BASELINE.md round 3).  NOT counted in
+    fault_defl: wander is on every pool clip, so plain supervision covers
+    it, and letting it into fault_defl starves the rare real-fault
+    frames/joints of the boost budget (poseE drift-transfer collapse).
     """
     V = graph.NUM_JOINTS
     t_lin = np.linspace(0, 1, num_frames)
@@ -182,6 +184,20 @@ def swing_keypoints(
         elif name == "head_movement":
             kpts[:, [0, 1, 2, 3, 4], 0] += sev * 0.12 * np.sin(theta * 2)[:, None]
 
+    # Per-frame/per-joint fault deflection — how far the injected faults
+    # moved each joint off the canonical trajectory (unit body frame;
+    # place_in_image scales it to pixels).  Pose training uses it to
+    # oversample + upweight exactly the frames/joints a fault displaces:
+    # faults like chicken_wing live in a handful of follow-through frames
+    # and are otherwise drowned out by the canonical-pose prior.
+    # Computed BEFORE arm_wander on purpose: poseE (wander counted in
+    # fault_defl) collapsed hip-fault transfer (swaying 0.75->0.18,
+    # early_extension went NEGATIVE) because ubiquitous wander frames ate
+    # the entire fault-boost budget.  Wander needs no boost — it is on
+    # every pool clip, so plain supervision already enforces "the arm is
+    # wherever the pixels say".
+    fault_defl = np.linalg.norm(kpts - kpts_pre_fault, axis=-1).astype(np.float32)
+
     if arm_wander > 0:
         # Smooth per-joint wander: a handful of control points cosine-free
         # linearly interpolated over the clip, amplitude jittered per clip.
@@ -192,15 +208,6 @@ def swing_keypoints(
             for d in (0, 1):
                 ctrl = rng.normal(0.0, amp, n_ctrl)
                 kpts[:, j, d] += np.interp(x, np.arange(n_ctrl), ctrl)
-
-    # Per-frame/per-joint fault deflection — how far the injected faults
-    # (and arm wander, when enabled) moved each joint off the canonical
-    # trajectory (unit body frame;
-    # place_in_image scales it to pixels).  Pose training uses it to
-    # oversample + upweight exactly the frames/joints a fault displaces:
-    # faults like chicken_wing live in a handful of follow-through frames
-    # and are otherwise drowned out by the canonical-pose prior.
-    fault_defl = np.linalg.norm(kpts - kpts_pre_fault, axis=-1).astype(np.float32)
 
     # Measurement noise.
     kpts += rng.normal(0, noise, kpts.shape)

@@ -66,18 +66,21 @@ def test_fault_defl_tracks_injected_deflection():
                                rtol=1e-5)
 
 
-def test_arm_wander_displaces_arms_smoothly_and_counts_in_fault_defl():
+def test_arm_wander_displaces_arms_smoothly_not_counted_in_fault_defl():
     clean = data.swing_keypoints(60, np.random.default_rng(5), style_jitter=0.0,
                                  noise=0.0)
     wand = data.swing_keypoints(60, np.random.default_rng(5), style_jitter=0.0,
                                 noise=0.0, arm_wander=0.1)
     delta = np.linalg.norm(
         wand.keypoints[..., :2] - clean.keypoints[..., :2], axis=-1)
-    # Only elbows/wrists (7-10) move; deflection is counted in fault_defl.
+    # Only elbows/wrists (7-10) move.
     arm = delta[:, [7, 8, 9, 10]]
     rest = np.delete(delta, [7, 8, 9, 10], axis=1)
     assert arm.max() > 0.02 and rest.max() < 1e-9
-    np.testing.assert_allclose(wand.fault_defl, delta, atol=1e-5)
+    # Wander is NOT counted in fault_defl: it is on every pool clip, so it
+    # must not starve the rare real-fault frames of the boost budget
+    # (poseE drift-transfer collapse, BASELINE.md round 3).
+    assert wand.fault_defl.max() < 1e-9
     # Smooth: the wander component's per-frame step is a small fraction of
     # its overall excursion (the swing's own articulation is excluded).
     wander = wand.keypoints[:, 7, :2] - clean.keypoints[:, 7, :2]

@@ -219,6 +219,9 @@ def cmd_stream(args):
         if steady else None,
         "steady_latency_ms_p95": round(float(np.percentile(steady, 95)) * 1e3, 1)
         if steady else None,
+        "host_boxes": sa.host_boxes,
+        "host_box_ms_per_hop": round(
+            sa.host_box_s / max(sa.windows_processed, 1) * 1e3, 3),
     }
     _log(json.dumps(summary))
 

@@ -805,3 +805,70 @@ def make_swing_batch(
                     s = render_frames(s, image_hw, joint_radius=max(3.0, 0.01 * image_hw[0]), rng=rng)
         out.append(s)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Measured pose-front attenuation profile (probe_arm_gain.json)
+# ---------------------------------------------------------------------------
+# The pose front passes fault deflections with joint-dependent gain (e.g.
+# chicken_wing's elbow at ~0.18, hips at ~0.4-0.7 — BASELINE.md round 3).
+# Error-head cascade training simulates this by blending faulty keypoint
+# clips toward their clean counterparts with per-joint gains; conditioning
+# those gains on the MEASURED profile ensures the head trains at the exact
+# attenuation level it must detect at runtime (a broad uniform prior's
+# floor of 0.35 never reaches the elbow's measured 0.18).
+
+
+def load_gain_profile(path: str) -> Optional[np.ndarray]:
+    """probe_arm_gain.json -> per-(fault, joint) gain table [E, 17].
+
+    Entries are NaN where the probe measured nothing (joints a fault does
+    not displace).  Returns None when the file does not exist.
+    """
+    import json as _json
+    import os as _os
+
+    if not _os.path.exists(path):
+        return None
+    with open(path) as f:
+        prof = _json.load(f)
+    tab = np.full((len(cfg_mod.SWING_ERRORS), graph.NUM_JOINTS), np.nan,
+                  np.float32)
+    for e, name in enumerate(cfg_mod.SWING_ERRORS):
+        per_joint = prof.get("faults", {}).get(name, {}).get(
+            "per_joint_gain", {})
+        for js, gv in per_joint.items():
+            tab[e, int(js)] = gv
+    return tab
+
+
+def conditioned_gain(
+    rng: np.random.Generator,
+    gain_tab: Optional[np.ndarray],
+    error_flags: np.ndarray,
+    broad_prob: float = 0.3,
+    spread: tuple[float, float] = (0.6, 1.4),
+    floor: float = 0.05,
+) -> np.ndarray:
+    """Per-joint deflection gain [17] for one simulated cascade clip.
+
+    Base draw is broad U(0.35, 1).  With probability (1 - broad_prob) and a
+    measured profile available, joints measured for the clip's ACTIVE
+    faults are overridden with worst-case-across-active-faults measured
+    gain, jittered by U(*spread) and clipped to [floor, 1] — so the head
+    sees the true runtime attenuation while keeping a broad-uniform share
+    for robustness to gains off the profile.
+    """
+    g = rng.uniform(0.35, 1.0, gain_tab.shape[1] if gain_tab is not None
+                    else graph.NUM_JOINTS)
+    if gain_tab is None:
+        return g
+    active = np.flatnonzero(np.asarray(error_flags) > 0.5)
+    if active.size == 0 or rng.random() < broad_prob:
+        return g
+    ga = np.where(np.isnan(gain_tab[active]), np.inf, gain_tab[active])
+    m = ga.min(axis=0)              # worst case across this clip's faults
+    meas = np.isfinite(m)
+    g[meas] = np.clip(m[meas] * rng.uniform(*spread, int(meas.sum())),
+                      floor, 1.0)
+    return g

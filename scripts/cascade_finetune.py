@@ -352,18 +352,9 @@ def main():
     # elbow passes at gain ~0.18, BELOW the prior's floor, so a head
     # trained on the prior alone never sees the attenuation level it must
     # detect at runtime.
-    gain_tab = None
     prof_path = args.gain_profile or f"{args.artifacts}/probe_arm_gain.json"
-    if os.path.exists(prof_path):
-        with open(prof_path) as f:
-            _prof = json.load(f)
-        gain_tab = np.full((len(cfg_mod.SWING_ERRORS), 17), np.nan,
-                           np.float32)
-        for _e, _name in enumerate(cfg_mod.SWING_ERRORS):
-            per_joint = _prof.get("faults", {}).get(_name, {}).get(
-                "per_joint_gain", {})
-            for _js, _gv in per_joint.items():
-                gain_tab[_e, int(_js)] = _gv
+    gain_tab = data.load_gain_profile(prof_path)
+    if gain_tab is not None:
         log(f"attenuation sampling conditioned on measured profile "
             f"{prof_path} ({int(np.isfinite(gain_tab).sum())} fault-joint "
             f"gains)")
@@ -404,21 +395,8 @@ def main():
         # ~0.88 on the head); simulate by blending each faulty clip toward
         # its clean counterpart with a random per-joint gain.
         fresh, fk, ck = _fresh_pairs(i)
-        g = rng_aug.uniform(0.35, 1.0, (half, fk.shape[2]))
-        if gain_tab is not None:
-            for bi, s in enumerate(fresh):
-                active = np.flatnonzero(np.asarray(s.error_flags) > 0.5)
-                # keep a broad-uniform share so the head stays robust to
-                # gains off the measured profile
-                if active.size == 0 or rng_aug.random() < 0.3:
-                    continue
-                ga = np.where(np.isnan(gain_tab[active]), np.inf,
-                              gain_tab[active])
-                m = ga.min(axis=0)          # worst-case across active faults
-                meas = np.isfinite(m)
-                g[bi, meas] = np.clip(
-                    m[meas] * rng_aug.uniform(0.6, 1.4, int(meas.sum())),
-                    0.05, 1.0)
+        g = np.stack([data.conditioned_gain(rng_aug, gain_tab, s.error_flags)
+                      for s in fresh])
         g = g[:, None, :, None]
         fk = ck + (fk - ck) * g
         nz = np.empty((half, T, fk.shape[2], 2), np.float32)

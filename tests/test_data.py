@@ -199,3 +199,45 @@ def test_make_fault_balanced_batch_scene_families():
         1, 4, seed=23, image_hw=(96, 160), render=True, clean=1,
         scene_families=(0, 1))
     assert all(s.frames is not None for s in cal)
+
+
+def test_load_gain_profile_and_conditioned_gain(tmp_path):
+    import json
+
+    prof = {
+        "faults": {
+            "chicken_wing": {"per_joint_gain": {"7": 0.18}},
+            "swaying": {"per_joint_gain": {"11": 0.7, "12": 0.6}},
+        }
+    }
+    p = tmp_path / "probe_arm_gain.json"
+    p.write_text(json.dumps(prof))
+    tab = data.load_gain_profile(str(p))
+    assert tab.shape == (len(cfg_mod.SWING_ERRORS), 17)
+    cw = cfg_mod.SWING_ERRORS.index("chicken_wing")
+    sw = cfg_mod.SWING_ERRORS.index("swaying")
+    assert tab[cw, 7] == np.float32(0.18)
+    assert tab[sw, 11] == np.float32(0.7)
+    assert np.isnan(tab[cw, 11])
+    assert data.load_gain_profile(str(tmp_path / "missing.json")) is None
+
+    # Conditioned sampling: with broad_prob=0 the measured joints of the
+    # active fault are overridden near the measured gain (x U(0.6, 1.4)),
+    # others stay in the broad U(0.35, 1) band.
+    flags = np.zeros(len(cfg_mod.SWING_ERRORS), np.float32)
+    flags[cw] = 1.0
+    rng = np.random.default_rng(0)
+    gs = np.stack([data.conditioned_gain(rng, tab, flags, broad_prob=0.0)
+                   for _ in range(64)])
+    assert gs[:, 7].max() <= 0.18 * 1.4 + 1e-6
+    assert gs[:, 7].min() >= 0.05
+    assert gs[:, 11].min() >= 0.35 - 1e-6   # unmeasured joint: broad prior
+    # Both faults active: worst case across faults per joint.
+    flags2 = flags.copy(); flags2[sw] = 1.0
+    gs2 = np.stack([data.conditioned_gain(rng, tab, flags2, broad_prob=0.0)
+                    for _ in range(64)])
+    assert gs2[:, 11].max() <= 0.7 * 1.4 + 1e-6
+    # No active fault or no profile: broad prior only.
+    g0 = data.conditioned_gain(rng, tab, np.zeros_like(flags))
+    gN = data.conditioned_gain(rng, None, flags)
+    assert g0.min() >= 0.35 and gN.min() >= 0.35

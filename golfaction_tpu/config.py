@@ -170,6 +170,14 @@ class PipelineConfig:
     # Pallas kernel at pipeline batch sizes (0.40 vs 0.56 ms / 8x1080p on
     # v5e — the kernel pays an NHWC->planar transpose), so XLA is default.
     preprocess_impl: str = "xla"
+    # Warp compute dtype.  The separable warp is two MXU matmuls over the
+    # full 1080p frame (~2.4 GFLOP/frame — on the order of the pose net
+    # itself); the MXU is bf16-native, and uint8 pixel values 0-255 are all
+    # exactly representable in bf16, so "bfloat16" halves the warp cost
+    # with error bounded by the interp-weight rounding (~0.4% of a pixel
+    # step, far below photometric augmentation noise).  f32 accumulation
+    # either way (preferred_element_type).
+    preprocess_dtype: str = "float32"
     # analyze_batch processes clips in fixed chunks of this many per
     # compiled program (padded by repetition): every distinct batch shape
     # is a separate jit compile, so the chunk bounds compiles at

@@ -214,6 +214,8 @@ class Pipeline:
         pallas_pre = c.preprocess_impl == "pallas" and on_tpu
         half = c.pose.in_frames // 2
 
+        pre_dtype = jnp.dtype(c.preprocess_dtype)
+
         def crop_one(f, b):
             if pallas_pre:
                 from golfaction_tpu.ops.pallas import preprocess_kernel
@@ -221,7 +223,8 @@ class Pipeline:
                 return preprocess_kernel.crop_resize_normalize_pallas(
                     f, b, c.pose.input_hw
                 )
-            return preprocess.crop_resize_normalize(f, b, c.pose.input_hw)
+            return preprocess.crop_resize_normalize(f, b, c.pose.input_hw,
+                                                    dtype=pre_dtype)
 
         def one_batch(args):
             # Micro-batches carry frame INDICES, not frame slices: the

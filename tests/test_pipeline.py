@@ -213,3 +213,21 @@ def test_stabilized_boxes_on_shaking_camera():
     err_raw = np.linalg.norm(b_raw[:, :2] - centers, axis=1).mean()
     assert err_stab < err_raw * 0.7, (err_stab, err_raw)
     assert err_stab < 15.0, err_stab
+
+
+def test_preprocess_dtype_bf16_keypoint_parity(pipe):
+    """preprocess_dtype="bfloat16" (the TPU warp fast path) must keep
+    keypoints within a small fraction of the person box vs the f32 path —
+    uint8 pixels are exact in bf16; only interp weights round."""
+    frames = _swing_frames(t=10)
+    ref = pipe.analyze(frames)
+    cfg_bf = dataclasses.replace(TINY, preprocess_dtype="bfloat16")
+    pipe_bf = orchestrator.Pipeline(cfg_bf, seed=0)
+    pipe_bf.params = pipe.params
+    res = pipe_bf.analyze(frames)
+    k0 = np.asarray(ref.keypoints)[:10, :, :2]
+    k1 = np.asarray(res.keypoints)[:10, :, :2]
+    # Untrained net: predictions are arbitrary but must be *stable* under
+    # the warp dtype (same peaks up to sub-pixel wiggle).
+    assert np.median(np.abs(k1 - k0)) < 2.0
+    assert np.isfinite(k1).all()

@@ -189,11 +189,15 @@ def _make_pipeline(orchestrator, cfg, dev, seed=0):
         for name in ("pose", "gcn", "align", "error", "refine"):
             step_dir = ckpt_mod.latest_step_dir(
                 os.path.join(art, "params", name))
-            if step_dir is None:
-                if name == "refine":   # optional second stage — see
-                    continue           # models/refine.py
+            npz = os.path.join(art, "params", f"{name}.npz")
+            if step_dir is not None:
+                params[name] = ckpt_mod.restore_params(step_dir, device=cpu0)
+            elif os.path.exists(npz):   # committed compact checkpoint
+                params[name] = ckpt_mod.restore_params_npz(npz)
+            elif name == "refine":      # optional second stage — see
+                continue                # models/refine.py
+            else:
                 raise FileNotFoundError(f"no checkpoint for {name}")
-            params[name] = ckpt_mod.restore_params(step_dir, device=cpu0)
         params = jax.device_put(params, dev)
         _fence(params["pose"])
         _log(f"trained params restored + transferred: {time.time() - t0:.1f}s")

@@ -70,6 +70,8 @@ def load_pipeline_params(root: str, like: Any) -> Any:
     scripts/train_eval.py (<root>/params/<model>/step_XXXXXXXX or
     <root>/<model>/step_XXXXXXXX).  Models without a checkpoint keep their
     `like` (e.g. random-init) values, so partial artifact sets work.
+    A compact `<base>/<model>.npz` (save_params_npz — the git-committable
+    form) is used when no Orbax step dir exists.
     """
     base = os.path.join(root, "params") if os.path.isdir(
         os.path.join(root, "params")
@@ -79,7 +81,54 @@ def load_pipeline_params(root: str, like: Any) -> Any:
         step_dir = latest_step_dir(os.path.join(base, name))
         if step_dir:
             out[name] = restore_params(step_dir, like=like[name])
+        elif os.path.exists(os.path.join(base, f"{name}.npz")):
+            out[name] = restore_params_npz(os.path.join(base, f"{name}.npz"))
     return out
+
+
+def _key_str(k) -> str:
+    if hasattr(k, "key"):       # DictKey
+        return str(k.key)
+    if hasattr(k, "name"):      # GetAttrKey
+        return str(k.name)
+    return str(getattr(k, "idx", k))  # SequenceKey
+
+
+def save_params_npz(path: str, params: Any, dtype=np.float16) -> str:
+    """Compact single-file checkpoint: the params pytree flattened to
+    '/'-joined key paths in one compressed .npz, float leaves cast to
+    `dtype` (default f16 — half of f32; pose PCK impact is below eval
+    noise, guarded by the round-trip test).  Purpose: a ~15 MB pose
+    checkpoint small enough to COMMIT, so a fresh clone runs the trained
+    pipeline without the multi-hour retrain (the Orbax tree is ~60 MB and
+    gitignored).  Dict-keyed pytrees only (flax params)."""
+    flat, _ = jax.tree_util.tree_flatten_with_path(params)
+    out = {}
+    for kp, leaf in flat:
+        arr = np.asarray(leaf)
+        if dtype is not None and np.issubdtype(arr.dtype, np.floating):
+            arr = arr.astype(dtype)
+        out["/".join(_key_str(k) for k in kp)] = arr
+    np.savez_compressed(path, **out)
+    return path
+
+
+def restore_params_npz(path: str, cast=np.float32) -> Any:
+    """Restore a save_params_npz checkpoint to a nested-dict pytree,
+    casting float leaves to `cast` (default f32, the training dtype —
+    models downcast to bf16 internally where they want it)."""
+    data = np.load(path)
+    tree: dict = {}
+    for key in data.files:
+        parts = key.split("/")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        arr = data[key]
+        if cast is not None and np.issubdtype(arr.dtype, np.floating):
+            arr = arr.astype(cast)
+        node[parts[-1]] = arr
+    return tree
 
 
 def detect_pose_in_frames(root: str) -> int:
@@ -98,6 +147,14 @@ def detect_pose_in_frames(root: str) -> int:
     ) else root
     step_dir = latest_step_dir(os.path.join(base, "pose"))
     if not step_dir:
+        npz = os.path.join(base, "pose.npz")
+        if os.path.exists(npz):
+            try:
+                with np.load(npz) as d:
+                    shape = d["params/Conv_0/kernel"].shape
+                return max(int(shape[2]) // 3, 1)
+            except Exception:
+                return 1
         return 1
     try:
         meta = ocp.StandardCheckpointer().metadata(step_dir).item_metadata

@@ -51,9 +51,13 @@ def main():
     params = model.init(jax.random.key(0),
                         jnp.zeros((1, *cfg.input_hw, 3 * cfg.in_frames)))
     ck = checkpoint.latest_step_dir(f"{args.artifacts}/params/pose")
+    npz = f"{args.artifacts}/params/pose.npz"
     if ck:
         params = checkpoint.restore_params(ck, like=params)
         log(f"loaded pose params from {ck}")
+    elif os.path.exists(npz):
+        params = checkpoint.restore_params_npz(npz)
+        log(f"loaded pose params from {npz}")
     else:
         log("WARNING: no trained pose checkpoint; evaluating random weights")
 

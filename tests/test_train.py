@@ -127,6 +127,43 @@ def test_checkpoint_round_trip(tmp_path):
     assert blind["pose"]["w"].sharding == jax.sharding.SingleDeviceSharding(dev)
 
 
+def test_checkpoint_npz_round_trip(tmp_path):
+    # save_params_npz is the git-committable compact form: f16 floats,
+    # int leaves untouched, '/'-joined nested dict keys.
+    params = {
+        "params": {
+            "Conv_0": {"kernel": jnp.linspace(-1, 1, 24,
+                                              dtype=jnp.float32).reshape(2, 3, 4)},
+            "Dense_0": {"bias": jnp.ones((4,), jnp.float32)},
+        },
+        "steps": np.asarray(7, np.int32),
+    }
+    path = checkpoint.save_params_npz(str(tmp_path / "pose.npz"), params)
+    restored = checkpoint.restore_params_npz(path)
+    k = restored["params"]["Conv_0"]["kernel"]
+    assert k.dtype == np.float32           # cast back to the training dtype
+    np.testing.assert_allclose(
+        k, np.asarray(params["params"]["Conv_0"]["kernel"]), atol=1e-3)
+    assert restored["steps"].dtype == np.int32 and int(restored["steps"]) == 7
+
+    # load_pipeline_params falls back to <base>/<name>.npz when no Orbax
+    # step dir exists (fresh-clone path: the Orbax pose tree is gitignored).
+    (tmp_path / "params").mkdir()
+    checkpoint.save_params_npz(str(tmp_path / "params" / "pose.npz"), params)
+    like = {"pose": jax.tree.map(lambda x: np.zeros_like(x), params)}
+    out = checkpoint.load_pipeline_params(str(tmp_path), like=like)
+    np.testing.assert_allclose(
+        out["pose"]["params"]["Dense_0"]["bias"], np.ones((4,)), atol=1e-3)
+
+
+def test_detect_pose_in_frames_npz(tmp_path):
+    (tmp_path / "params").mkdir()
+    params = {"params": {"Conv_0": {"kernel": np.zeros((7, 7, 9, 8),
+                                                       np.float32)}}}
+    checkpoint.save_params_npz(str(tmp_path / "params" / "pose.npz"), params)
+    assert checkpoint.detect_pose_in_frames(str(tmp_path)) == 3
+
+
 @pytest.mark.slow
 def test_checkpoint_resume_continues_training(tmp_path):
     # Train 8 steps with checkpointing every 4; resume from step 4 and verify

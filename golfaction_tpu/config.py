@@ -73,6 +73,18 @@ class PoseConfig:
     # (0.32 vs 0.37 ms / 256 heatmaps on v5e), so it is the default and the
     # Pallas kernel stays as the parity-tested alternative.
     decode_impl: str = "xla"
+    # Multi-hypothesis tracked decode: 0 = single-peak decode; k > 1 =
+    # extract the top-k NMS heatmap modes per frame and select per joint by
+    # exact Viterbi DP over the clip (ops/heatmap.py topk_modes /
+    # viterbi_track).  Motivated by the measured bimodality of fault-frame
+    # heatmaps (scripts/probe_heatmap_modes.py): the true deflected-joint
+    # mode survives the backbone in 97% of faulted frames but the single
+    # peak flips to the canonical ghost half the time.  Takes precedence
+    # over decode_impl (the Pallas single-peak kernel stays the k=0 path).
+    decode_tracking: int = 0
+    # Transition weight lam in: cost = -log(score) + lam*||xy_t - xy_{t-1}||²
+    # (heatmap px²).
+    track_lambda: float = 0.1
 
 
 @dataclasses.dataclass(frozen=True)

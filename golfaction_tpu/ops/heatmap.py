@@ -43,6 +43,41 @@ def _gather_at(heatmaps: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.nda
     return jnp.take_along_axis(flat, (y * W + x)[..., None], axis=-1)[..., 0]
 
 
+def _udp_offset(heatmaps: jnp.ndarray, x_i: jnp.ndarray, y_i: jnp.ndarray):
+    """DARK/UDP sub-pixel offset at integer peak (x_i, y_i) [...].
+
+    Taylor expansion of the log-heatmap: offset = -H⁻¹ ∇ log h, clipped to
+    ±0.5 px, zero where the Hessian is not negative definite.
+    """
+    eps = 1e-10
+    logh = jnp.log(jnp.maximum(heatmaps, eps))
+    c = _gather_at(logh, x_i, y_i)
+    xp = _gather_at(logh, x_i + 1, y_i)
+    xm = _gather_at(logh, x_i - 1, y_i)
+    yp = _gather_at(logh, x_i, y_i + 1)
+    ym = _gather_at(logh, x_i, y_i - 1)
+    xpyp = _gather_at(logh, x_i + 1, y_i + 1)
+    xpym = _gather_at(logh, x_i + 1, y_i - 1)
+    xmyp = _gather_at(logh, x_i - 1, y_i + 1)
+    xmym = _gather_at(logh, x_i - 1, y_i - 1)
+
+    dx = 0.5 * (xp - xm)
+    dy = 0.5 * (yp - ym)
+    dxx = xp - 2.0 * c + xm
+    dyy = yp - 2.0 * c + ym
+    dxy = 0.25 * (xpyp - xpym - xmyp + xmym)
+
+    # offset = -inv([[dxx, dxy], [dxy, dyy]]) @ [dx, dy]
+    det = dxx * dyy - dxy * dxy
+    safe = (jnp.abs(det) > 1e-12) & (dxx < 0) & (dyy < 0)
+    det = jnp.where(safe, det, 1.0)
+    off_x = -(dyy * dx - dxy * dy) / det
+    off_y = -(dxx * dy - dxy * dx) / det
+    off_x = jnp.where(safe, jnp.clip(off_x, -0.5, 0.5), 0.0)
+    off_y = jnp.where(safe, jnp.clip(off_y, -0.5, 0.5), 0.0)
+    return off_x, off_y
+
+
 def decode_heatmaps(
     heatmaps: jnp.ndarray, method: str = "udp"
 ) -> jnp.ndarray:
@@ -65,41 +100,135 @@ def decode_heatmaps(
         x = x + 0.25 * jnp.sign(right - left)
         y = y + 0.25 * jnp.sign(down - up)
     elif method == "udp":
-        # DARK-style: Taylor expansion of log-heatmap around the integer peak.
-        eps = 1e-10
-        logh = jnp.log(jnp.maximum(heatmaps, eps))
-        c = _gather_at(logh, x_i, y_i)
-        xp = _gather_at(logh, x_i + 1, y_i)
-        xm = _gather_at(logh, x_i - 1, y_i)
-        yp = _gather_at(logh, x_i, y_i + 1)
-        ym = _gather_at(logh, x_i, y_i - 1)
-        xpyp = _gather_at(logh, x_i + 1, y_i + 1)
-        xpym = _gather_at(logh, x_i + 1, y_i - 1)
-        xmyp = _gather_at(logh, x_i - 1, y_i + 1)
-        xmym = _gather_at(logh, x_i - 1, y_i - 1)
-
-        dx = 0.5 * (xp - xm)
-        dy = 0.5 * (yp - ym)
-        dxx = xp - 2.0 * c + xm
-        dyy = yp - 2.0 * c + ym
-        dxy = 0.25 * (xpyp - xpym - xmyp + xmym)
-
-        # offset = -inv([[dxx, dxy], [dxy, dyy]]) @ [dx, dy]
-        det = dxx * dyy - dxy * dxy
-        # Guard: fall back to zero offset where the Hessian is not negative
-        # definite (flat/degenerate peak).
-        safe = (jnp.abs(det) > 1e-12) & (dxx < 0) & (dyy < 0)
-        det = jnp.where(safe, det, 1.0)
-        off_x = -(dyy * dx - dxy * dy) / det
-        off_y = -(dxx * dy - dxy * dx) / det
-        off_x = jnp.where(safe, jnp.clip(off_x, -0.5, 0.5), 0.0)
-        off_y = jnp.where(safe, jnp.clip(off_y, -0.5, 0.5), 0.0)
+        off_x, off_y = _udp_offset(heatmaps, x_i, y_i)
         x = x + off_x
         y = y + off_y
     else:
         raise ValueError(f"unknown decode method: {method!r}")
 
     return jnp.stack([x, y, peak.astype(jnp.float32)], axis=-1)
+
+
+def topk_modes(
+    heatmaps: jnp.ndarray,
+    k: int = 4,
+    suppress_radius: float = 3.0,
+    refine: bool = True,
+) -> jnp.ndarray:
+    """Top-k non-max-suppressed local maxima of heatmaps [..., H, W].
+
+    Returns modes [..., k, 3] (x, y, score) in heatmap pixel space, score-
+    descending.  Greedy peak extraction: k rounds of (argmax, suppress a
+    `suppress_radius`-px disk), fully vectorized over the batch dims —
+    a `lax.scan` of length k over one fused max-reduce + mask per round.
+    Each mode gets the UDP sub-pixel refinement against the ORIGINAL
+    (unsuppressed) heatmap.
+
+    Motivation (measured, scripts/probe_heatmap_modes.py): on fault-
+    deflected elbows the pose net emits BIMODAL heatmaps — canonical-prior
+    mode + true-location mode — and the single-peak decode flips between
+    them (true mode present within 2 hm px in 97% of faulted frames while
+    the global peak sits nearer the canonical ghost in half of them).
+    `viterbi_track` selects among these modes with temporal consistency.
+    """
+    H, W = heatmaps.shape[-2:]
+    ys = jnp.arange(H, dtype=jnp.float32)[:, None]
+    xs = jnp.arange(W, dtype=jnp.float32)[None, :]
+    r2 = float(suppress_radius) ** 2
+
+    # A candidate mode must be a 3x3 LOCAL MAXIMUM of the original heatmap:
+    # after suppressing a disk around an extracted peak, the highest
+    # remaining value would otherwise be the peak's own shoulder ring (a
+    # Gaussian at sigma 2 still reads ~0.3 at radius 3), which is a
+    # monotone-slope point, not a mode, and would pollute the Viterbi
+    # candidate set with high-scoring ghosts ~3 px off every real peak.
+    win = (1,) * (heatmaps.ndim - 2) + (3, 3)
+    pooled = jax.lax.reduce_window(
+        heatmaps, -jnp.inf, jax.lax.max, win, (1,) * heatmaps.ndim, "SAME"
+    )
+    neg = jnp.asarray(-1e30, heatmaps.dtype)
+    start = jnp.where(heatmaps >= pooled, heatmaps, neg)
+
+    def body(h, _):
+        x_i, y_i, peak = _peak_coords(h)
+        d2 = (xs - x_i[..., None, None].astype(jnp.float32)) ** 2 + (
+            ys - y_i[..., None, None].astype(jnp.float32)
+        ) ** 2
+        h = jnp.where(d2 <= r2, neg, h)
+        return h, (x_i, y_i, peak)
+
+    _, (xk, yk, pk) = jax.lax.scan(body, start, None, length=k)
+    # scan stacks on axis 0 -> move the mode axis to the end of batch dims.
+    nb = heatmaps.ndim - 2
+    xk = jnp.moveaxis(xk, 0, nb)                      # [..., k]
+    yk = jnp.moveaxis(yk, 0, nb)
+    pk = jnp.moveaxis(pk, 0, nb).astype(jnp.float32)
+
+    x = xk.astype(jnp.float32)
+    y = yk.astype(jnp.float32)
+    if refine:
+        # Broadcast the original heatmaps against the extra mode axis.
+        hm_b = heatmaps[..., None, :, :]
+        off_x, off_y = _udp_offset(hm_b, xk, yk)
+        x = x + off_x
+        y = y + off_y
+    return jnp.stack([x, y, pk], axis=-1)
+
+
+def viterbi_track(
+    modes: jnp.ndarray,
+    lam: float = 0.1,
+    eps: float = 1e-6,
+) -> jnp.ndarray:
+    """Temporally-consistent mode selection over a clip.
+
+    modes [T, ..., k, 3]: per-frame top-k candidate (x, y, score) from
+    `topk_modes` (any number of middle batch dims, typically the joint
+    axis).  Finds, independently per joint, the mode sequence minimizing
+
+        sum_t -log(score_t) + lam * ||xy_t - xy_{t-1}||²
+
+    by exact Viterbi DP: a forward `lax.scan` over T computing the k×k
+    transition costs (carrying [..., k] path costs), then a reverse scan
+    backtracking the argmin pointers.  O(T·k²) per joint — negligible next
+    to the pose conv stack — and everything stays in the jitted program.
+
+    Returns keypoints [T, ..., 3]: the selected mode per frame.
+
+    Why exact DP and not per-frame argmax: the pose net's fault-frame
+    heatmaps are bimodal (see `topk_modes`); the canonical ghost mode and
+    the true mode BOTH form smooth tracks, but the true track scores
+    higher summed over the clip, so the global optimum follows it while
+    per-frame argmax flips (the measured 0.34 deflection gain).
+    """
+    xy = modes[..., :2]
+    unary = -jnp.log(jnp.maximum(modes[..., 2], eps))  # [T, ..., k]
+
+    def fwd(carry, inp):
+        prev_cost, prev_xy = carry                     # [..., k], [..., k, 2]
+        xy_t, u_t = inp
+        d2 = jnp.sum(
+            (xy_t[..., None, :, :] - prev_xy[..., :, None, :]) ** 2, -1
+        )                                              # [..., k_prev, k_cur]
+        tot = prev_cost[..., :, None] + lam * d2
+        back = jnp.argmin(tot, axis=-2)                # [..., k_cur]
+        cost = jnp.min(tot, axis=-2) + u_t
+        return (cost, xy_t), back
+
+    (final_cost, _), backs = jax.lax.scan(
+        fwd, (unary[0], xy[0]), (xy[1:], unary[1:])
+    )                                                  # backs [T-1, ..., k]
+    last = jnp.argmin(final_cost, axis=-1)             # [...]
+
+    def bwd(nxt, back_t):
+        cur = jnp.take_along_axis(back_t, nxt[..., None], axis=-1)[..., 0]
+        return cur, cur
+
+    _, prevs = jax.lax.scan(bwd, last, backs, reverse=True)
+    idx = jnp.concatenate([prevs, last[None]], axis=0)  # [T, ...]
+    return jnp.take_along_axis(
+        modes, idx[..., None, None], axis=modes.ndim - 2
+    )[..., 0, :]
 
 
 def keypoints_to_image(

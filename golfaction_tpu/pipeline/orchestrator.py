@@ -241,19 +241,41 @@ class Pipeline:
                     for off in range(-half, half + 1)
                 ], axis=-1)
             hm = self.pose_model.apply(params["pose"], crops)
+            if track_k:
+                # Tracked decode: reduce each frame to its top-k NMS modes
+                # here (fused with the pose forward); the cross-frame
+                # Viterbi runs once over the assembled clip below.
+                return heatmap.topk_modes(hm, k=track_k)
             if use_pallas:
                 from golfaction_tpu.ops.pallas import decode_kernel
 
                 return decode_kernel.decode_heatmaps_pallas(hm)
             return heatmap.decode_heatmaps(hm, method="udp" if c.pose.udp else "quarter")
 
+        track_k = c.pose.decode_tracking
+        mode_dims = (c.pose.num_joints, track_k, 3) if track_k \
+            else (c.pose.num_joints, 3)
         idx_all = jnp.arange(T, dtype=jnp.int32)
         if T % mb == 0 and T > mb:
             ix = idx_all.reshape(T // mb, mb)
             bx = boxes.reshape(T // mb, mb, 4)
-            kpts_hm = jax.lax.map(one_batch, (ix, bx)).reshape(T, c.pose.num_joints, 3)
+            kpts_hm = jax.lax.map(one_batch, (ix, bx)).reshape(T, *mode_dims)
         else:
             kpts_hm = one_batch((idx_all, boxes))
+        if track_k:
+            # Viterbi runs in IMAGE space (mode coords are crop-relative, so
+            # box jitter between frames would pollute the transition cost),
+            # normalized by the clip-mean crop scale so track_lambda keeps
+            # heatmap-px² units at any resolution / person size.
+            V = c.pose.num_joints
+            img = heatmap.keypoints_to_image(
+                kpts_hm.reshape(T, V * track_k, 3), boxes,
+                c.pose.heatmap_hw, c.pose.input_hw,
+            ).reshape(T, V, track_k, 3)
+            s = jnp.mean(boxes[:, 3]) / c.pose.heatmap_hw[0]
+            norm = jnp.concatenate([img[..., :2] / s, img[..., 2:]], axis=-1)
+            tr = heatmap.viterbi_track(norm, lam=c.pose.track_lambda)
+            return jnp.concatenate([tr[..., :2] * s, tr[..., 2:]], axis=-1)
         return heatmap.keypoints_to_image(
             kpts_hm, boxes, c.pose.heatmap_hw, c.pose.input_hw
         )

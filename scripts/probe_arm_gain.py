@@ -58,6 +58,9 @@ def main():
     ap.add_argument("--pose-dir", default=None,
                     help="override pose checkpoint dir (compare candidates "
                          "without touching artifacts/)")
+    ap.add_argument("--set", dest="overrides", action="append", default=[],
+                    help="config override key=value (repeatable), e.g. "
+                         "--set pose.decode_tracking=4")
     args = ap.parse_args()
 
     import jax
@@ -88,6 +91,8 @@ def main():
         nf = checkpoint.detect_pose_in_frames(root)
     if nf != 1:
         cfg = cfg_mod.apply_overrides(cfg, [f"pose.in_frames={nf}"])
+    if args.overrides:
+        cfg = cfg_mod.apply_overrides(cfg, args.overrides)
     pipe = orchestrator.Pipeline(cfg, seed=0)
     if args.pose_dir:
         # Load pose ONLY from pose_dir: the artifacts pose may have a

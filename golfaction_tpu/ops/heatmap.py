@@ -175,6 +175,44 @@ def topk_modes(
     return jnp.stack([x, y, pk], axis=-1)
 
 
+def moment_stats(heatmaps: jnp.ndarray, radius: float = 8.0) -> jnp.ndarray:
+    """Windowed first/second moments of heatmaps [..., H, W] -> [..., 5].
+
+    Returns (mu_x, mu_y, cov_xx, cov_xy, cov_yy) in heatmap pixel units of
+    the positive-clipped heatmap restricted to a `radius`-px disk around
+    the argmax peak (the window keeps far-field ghost blobs of OTHER body
+    parts from polluting the covariance).
+
+    Motivation (measured, scripts/probe_heatmap_modes.py +
+    probe_arm_gain_tracked.json): on fault-deflected arm joints the pose
+    net splits its belief between the canonical-prior location and the
+    true one, but the two sigma-2 components sit ~2.6 hm px apart — BELOW
+    the 2-sigma bimodality threshold — so they merge into one elongated
+    blob.  A multi-hypothesis mode decode cannot see this (no second local
+    max exists); the second moment can: for a two-component mixture with
+    weights (1-w, w) and separation d, the variance along the separation
+    axis is sigma^2 + w(1-w) d^2 while the decoded mean moves only w*d.
+    The error head combines this spread with the DTW-aligned-reference
+    deviation direction to recover the full deflection magnitude.
+    """
+    H, W = heatmaps.shape[-2:]
+    ys = jnp.arange(H, dtype=jnp.float32)[:, None]
+    xs = jnp.arange(W, dtype=jnp.float32)[None, :]
+    x_i, y_i, _ = _peak_coords(heatmaps)
+    xf = x_i[..., None, None].astype(jnp.float32)
+    yf = y_i[..., None, None].astype(jnp.float32)
+    d2 = (xs - xf) ** 2 + (ys - yf) ** 2
+    w = jnp.maximum(heatmaps.astype(jnp.float32), 0.0)
+    w = jnp.where(d2 <= float(radius) ** 2, w, 0.0)
+    z = jnp.maximum(w.sum((-2, -1)), 1e-9)
+    mux = (w * xs).sum((-2, -1)) / z
+    muy = (w * ys).sum((-2, -1)) / z
+    cxx = (w * xs * xs).sum((-2, -1)) / z - mux * mux
+    cyy = (w * ys * ys).sum((-2, -1)) / z - muy * muy
+    cxy = (w * xs * ys).sum((-2, -1)) / z - mux * muy
+    return jnp.stack([mux, muy, cxx, cxy, cyy], axis=-1)
+
+
 def viterbi_track(
     modes: jnp.ndarray,
     lam: float = 0.1,

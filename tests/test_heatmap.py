@@ -93,3 +93,41 @@ def test_decode_jit_compatible():
     np.testing.assert_allclose(
         np.asarray(fn(hm)), np.asarray(heatmap.decode_heatmaps(hm, "udp")), rtol=1e-6
     )
+
+
+def test_moment_stats_single_gaussian():
+    centers = jnp.array([[[20.0, 30.0], [40.0, 10.0]]])
+    sigma = 2.0
+    hm = _gaussian_heatmaps(centers, (64, 48), sigma)
+    m = np.asarray(heatmap.moment_stats(hm, radius=8.0))
+    np.testing.assert_allclose(m[..., :2], np.asarray(centers), atol=0.05)
+    # Windowed Gaussian variance is slightly below sigma^2 (tail clipping).
+    np.testing.assert_allclose(m[..., 2], sigma**2, rtol=0.1)
+    np.testing.assert_allclose(m[..., 4], sigma**2, rtol=0.1)
+    np.testing.assert_allclose(m[..., 3], 0.0, atol=0.05)
+
+
+def test_moment_stats_merged_mixture_reads_separation():
+    # Two sigma-2 components 2.6 px apart along x merge into ONE blob
+    # (below the 2-sigma bimodality threshold) -- the regime where the
+    # mode decode fails.  The second moment must still expose the
+    # separation: var_x ~= sigma^2 + w(1-w) d^2.
+    sigma, d, w = 2.0, 2.6, 0.35
+    a = _gaussian_heatmaps(jnp.array([[[20.0, 30.0]]]), (64, 48), sigma)
+    b = _gaussian_heatmaps(jnp.array([[[20.0 + d, 30.0]]]), (64, 48), sigma)
+    hm = (1 - w) * a + w * b
+    m = np.asarray(heatmap.moment_stats(hm, radius=8.0))[0, 0]
+    expect_var = sigma**2 + w * (1 - w) * d**2
+    assert abs(m[2] - expect_var) < 0.35, (m[2], expect_var)
+    # ... while the y variance stays at the single-component value.
+    assert abs(m[4] - sigma**2) < 0.35, m[4]
+    # Mean moved only w*d (the attenuated decode).
+    assert abs(m[0] - (20.0 + w * d)) < 0.1
+
+
+def test_moment_stats_window_excludes_far_ghost():
+    a = _gaussian_heatmaps(jnp.array([[[20.0, 30.0]]]), (64, 48), 2.0)
+    ghost = 0.5 * _gaussian_heatmaps(jnp.array([[[40.0, 10.0]]]), (64, 48), 2.0)
+    m = np.asarray(heatmap.moment_stats(a + ghost, radius=8.0))[0, 0]
+    np.testing.assert_allclose(m[:2], [20.0, 30.0], atol=0.05)
+    np.testing.assert_allclose(m[2], 4.0, rtol=0.1)

@@ -136,6 +136,12 @@ class ErrorConfig:
     in_channels: int = 3
     hidden_dim: int = 256
     dtype: str = "bfloat16"
+    # Heatmap-spread features (ops/heatmap.moment_stats): per-joint excess
+    # spread along the reference-deviation direction + isotropic excess.
+    # Recovers fault deflections the decode attenuates (merged bimodal
+    # blobs — probe_heatmap_spread.json).  Changes the head's feature dim:
+    # checkpoints are not interchangeable across this flag.
+    spread_features: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

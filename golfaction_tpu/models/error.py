@@ -114,15 +114,16 @@ class ErrorClassifier(nn.Module):
     cfg: ErrorConfig = ErrorConfig()
 
     @nn.compact
-    def __call__(self, skeletons, phase_logits, valid=None, ref_aligned=None):
+    def __call__(self, skeletons, phase_logits, valid=None, ref_aligned=None,
+                 spread=None):
         from golfaction_tpu.models import gcn as gcn_mod
 
         cfg = self.cfg
         dt = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
         B, T, V, C = skeletons.shape
 
-        skeletons = gcn_mod.normalize_skeleton_clip(
-            skeletons.astype(jnp.float32), valid)
+        skeletons, clip_scale = gcn_mod.normalize_skeleton_clip(
+            skeletons.astype(jnp.float32), valid, return_scale=True)
         # Temporal 1-2-1 smoothing before feature extraction: runtime
         # skeletons carry frame-to-frame pose jitter that the angle /
         # angular-velocity features would otherwise amplify into the
@@ -144,6 +145,7 @@ class ErrorClassifier(nn.Module):
         angvel = jnp.diff(ang, axis=1, prepend=ang[:, :1])
 
         # Alignment-deviation block (SURVEY.md §2 "Depends on: seg + align").
+        diff = None
         if ref_aligned is None:
             dev = jnp.zeros((B, T, V * 2 + V), jnp.float32)
             has_ref = jnp.zeros((B, T, 1), jnp.float32)
@@ -155,7 +157,43 @@ class ErrorClassifier(nn.Module):
             dev = jnp.concatenate([diff.reshape(B, T, V * 2), dist], -1)
             has_ref = jnp.ones((B, T, 1), jnp.float32)
 
-        feat = jnp.concatenate([x, vel, ang, angvel, dev, has_ref], axis=-1)
+        blocks = [x, vel, ang, angvel, dev, has_ref]
+
+        if cfg.spread_features:
+            # Heatmap-spread block: the pose front's merged bimodal blobs
+            # attenuate fault deflections at DECODE time (measured 0.34
+            # gain on arms — probe_arm_gain.json) but the deflection
+            # magnitude survives in the heatmap covariance: var along the
+            # component-separation axis = sigma² + w(1-w)d²
+            # (probe_heatmap_spread.json).  `spread` [B,T,V,4] carries
+            # (cov_xx, cov_xy, cov_yy, floor) in IMAGE px², floor being
+            # the training-target spread (sigma·box_scale)²; everything is
+            # normalized by the SAME clip scale as the coordinates.
+            if spread is None:
+                blocks.append(jnp.zeros((B, T, 2 * V), jnp.float32))
+            else:
+                sp = _smooth_time(spread.astype(jnp.float32), valid)
+                sp = sp / jnp.maximum(clip_scale, 1e-3)[
+                    :, None, None, None] ** 2
+                cxx, cxy = sp[..., 0], sp[..., 1]
+                cyy, floor = sp[..., 2], sp[..., 3]
+                iso = jnp.sqrt(jnp.maximum(0.5 * (cxx + cyy) - floor, 0.0))
+                if diff is None:
+                    dir_exc = jnp.zeros((B, T, V), jnp.float32)
+                else:
+                    # Excess spread along the reference-deviation
+                    # direction: the error head's readout of "how far the
+                    # suppressed mixture component sits beyond the decoded
+                    # mean, toward where this clip already deviates".
+                    u = diff / jnp.maximum(
+                        jnp.linalg.norm(diff, axis=-1, keepdims=True), 1e-6)
+                    var_u = (u[..., 0] ** 2 * cxx
+                             + 2.0 * u[..., 0] * u[..., 1] * cxy
+                             + u[..., 1] ** 2 * cyy)
+                    dir_exc = jnp.sqrt(jnp.maximum(var_u - floor, 0.0))
+                blocks.append(jnp.concatenate([dir_exc, iso], axis=-1))
+
+        feat = jnp.concatenate(blocks, axis=-1)
         feat = nn.Dense(cfg.hidden_dim, dtype=dt)(feat.astype(dt))
         feat = nn.LayerNorm(dtype=dt)(feat)
         feat = nn.relu(feat)

@@ -255,7 +255,8 @@ def normalize_skeleton(kpts: jnp.ndarray, valid=None) -> jnp.ndarray:
     return jnp.concatenate([centered, score], axis=-1)
 
 
-def normalize_skeleton_clip(kpts: jnp.ndarray, valid=None) -> jnp.ndarray:
+def normalize_skeleton_clip(kpts: jnp.ndarray, valid=None,
+                            return_scale: bool = False):
     """Like normalize_skeleton but centered on the CLIP-mean mid-hip.
 
     Per-frame hip centering erases within-clip global drift — exactly the
@@ -280,7 +281,13 @@ def normalize_skeleton_clip(kpts: jnp.ndarray, valid=None) -> jnp.ndarray:
         center = hips.mean(-2)
     scale = jnp.maximum(scale, 1e-3)[..., None, None, None]
     centered = (xy - center[..., None, None, :]) / scale
-    return jnp.concatenate([centered, score], axis=-1)
+    out = jnp.concatenate([centered, score], axis=-1)
+    if return_scale:
+        # The clip scale (mean torso length, image px) — callers that
+        # normalize auxiliary pixel-unit statistics (e.g. heatmap-spread
+        # covariances) must divide by the SAME scale.
+        return out, scale[..., 0, 0, 0]
+    return out
 
 
 def create_gcn_model(cfg: GCNConfig = GCNConfig()):

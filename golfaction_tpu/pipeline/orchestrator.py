@@ -134,13 +134,18 @@ class Pipeline:
             bsh = mesh_mod.batch_sharding(self.mesh)
             self._align_batch = jax.jit(
                 self._align_batch_fn,
-                in_shardings=(rep, bsh, bsh, rep, rep, bsh),
+                in_shardings=(rep, bsh, bsh, rep, rep, bsh, bsh),
                 out_shardings=bsh,
             )
         else:
             self._align_batch = jax.jit(self._align_batch_fn)
         self._align_refine = jax.jit(self._align_refine_fn)
         self._pose_only = jax.jit(self._pose_fn)
+        # (keypoints, heatmap-spread) variant for cascade training, which
+        # must collect the same spread statistics the runtime error head
+        # consumes (scripts/cascade_finetune.py).
+        self._pose_spread = jax.jit(
+            functools.partial(self._pose_fn, want_spread=True))
 
     # ------------------------------------------------------------------
     # Parameter init
@@ -169,8 +174,14 @@ class Pipeline:
     # ------------------------------------------------------------------
     # Jitted device programs
     # ------------------------------------------------------------------
-    def _pose_fn(self, params, frames, boxes):
+    def _pose_fn(self, params, frames, boxes, want_spread: bool = False):
         """frames [T, H, W, 3] uint8, boxes [T, 4] -> keypoints [T, V, 3].
+
+        With want_spread=True returns (keypoints, spread [T, V, 4]): the
+        per-joint heatmap covariance (cov_xx, cov_xy, cov_yy) plus the
+        training-target floor (sigma * box_scale)^2, all in image px^2 —
+        the error head's readout of decode-attenuated fault deflections
+        (ops/heatmap.moment_stats).
 
         With cfg.box_refine_stride > 0, a coarse pose pass every `stride`
         frames seeds smoothed per-frame boxes from its decoded keypoints
@@ -199,9 +210,10 @@ class Pipeline:
             )
             rb = affine.interp_boxes(rb, s, frames.shape[0])
             boxes = affine.smooth_boxes(rb, window=9)
-        return self._pose_pass(params, frames, boxes)
+        return self._pose_pass(params, frames, boxes,
+                               want_spread=want_spread)
 
-    def _pose_pass(self, params, frames, boxes):
+    def _pose_pass(self, params, frames, boxes, want_spread: bool = False):
         c = self.cfg
         boxes = affine.box_to_center_scale(
             boxes, aspect_ratio=c.pose.input_hw[1] / c.pose.input_hw[0]
@@ -245,12 +257,17 @@ class Pipeline:
                 # Tracked decode: reduce each frame to its top-k NMS modes
                 # here (fused with the pose forward); the cross-frame
                 # Viterbi runs once over the assembled clip below.
-                return heatmap.topk_modes(hm, k=track_k)
-            if use_pallas:
+                dec = heatmap.topk_modes(hm, k=track_k)
+            elif use_pallas:
                 from golfaction_tpu.ops.pallas import decode_kernel
 
-                return decode_kernel.decode_heatmaps_pallas(hm)
-            return heatmap.decode_heatmaps(hm, method="udp" if c.pose.udp else "quarter")
+                dec = decode_kernel.decode_heatmaps_pallas(hm)
+            else:
+                dec = heatmap.decode_heatmaps(
+                    hm, method="udp" if c.pose.udp else "quarter")
+            if want_spread:
+                return dec, heatmap.moment_stats(hm)
+            return dec
 
         track_k = c.pose.decode_tracking
         mode_dims = (c.pose.num_joints, track_k, 3) if track_k \
@@ -259,9 +276,27 @@ class Pipeline:
         if T % mb == 0 and T > mb:
             ix = idx_all.reshape(T // mb, mb)
             bx = boxes.reshape(T // mb, mb, 4)
-            kpts_hm = jax.lax.map(one_batch, (ix, bx)).reshape(T, *mode_dims)
+            out = jax.lax.map(one_batch, (ix, bx))
         else:
-            kpts_hm = one_batch((idx_all, boxes))
+            out = one_batch((idx_all, boxes))
+        mom = None
+        if want_spread:
+            kpts_hm, mom = out
+            mom = mom.reshape(T, c.pose.num_joints, 5)
+        else:
+            kpts_hm = out
+        kpts_hm = kpts_hm.reshape(T, *mode_dims)
+        spread = None
+        if want_spread:
+            # Covariance heatmap px² -> image px² (the crop is an
+            # aspect-matched pure scale, so one factor per frame); floor =
+            # the training-target Gaussian's variance at the same scale.
+            s = boxes[:, 3] / c.pose.heatmap_hw[0]             # [T]
+            cov = mom[..., 2:5] * (s ** 2)[:, None, None]
+            floor = jnp.broadcast_to(
+                ((c.pose.sigma * s) ** 2)[:, None, None],
+                (*cov.shape[:2], 1))
+            spread = jnp.concatenate([cov, floor], axis=-1)    # [T, V, 4]
         if track_k:
             # Viterbi runs in IMAGE space (mode coords are crop-relative, so
             # box jitter between frames would pollute the transition cost),
@@ -275,15 +310,25 @@ class Pipeline:
             s = jnp.mean(boxes[:, 3]) / c.pose.heatmap_hw[0]
             norm = jnp.concatenate([img[..., :2] / s, img[..., 2:]], axis=-1)
             tr = heatmap.viterbi_track(norm, lam=c.pose.track_lambda)
-            return jnp.concatenate([tr[..., :2] * s, tr[..., 2:]], axis=-1)
-        return heatmap.keypoints_to_image(
-            kpts_hm, boxes, c.pose.heatmap_hw, c.pose.input_hw
-        )
+            kpts_img = jnp.concatenate([tr[..., :2] * s, tr[..., 2:]],
+                                       axis=-1)
+        else:
+            kpts_img = heatmap.keypoints_to_image(
+                kpts_hm, boxes, c.pose.heatmap_hw, c.pose.input_hw
+            )
+        if want_spread:
+            return kpts_img, spread
+        return kpts_img
 
     def _core_fn(self, params, frames, boxes, valid):
         """Full single-clip device program: pose -> GCN -> error."""
         c = self.cfg
-        kpts = self._pose_fn(params, frames, boxes)           # [T, V, 3]
+        spread = None
+        if c.error.spread_features:
+            kpts, spread = self._pose_fn(params, frames, boxes,
+                                         want_spread=True)    # [T,V,3],[T,V,4]
+        else:
+            kpts = self._pose_fn(params, frames, boxes)       # [T, V, 3]
         if "refine" in params:
             # Graph-temporal keypoint refinement (models/refine.py): undoes
             # the pose front's systematic fault-deflection attenuation.
@@ -299,15 +344,19 @@ class Pipeline:
         else:
             logits = self.gcn_model.apply(params["gcn"], sk, valid[None])
         err_logits = self.error_model.apply(
-            params["error"], kpts[None], logits, valid[None]
+            params["error"], kpts[None], logits, valid[None], None,
+            None if spread is None else spread[None],
         )                                                      # [1, E]
         labels = jnp.where(valid, jnp.argmax(logits[0], -1), -1)
-        return {
+        out = {
             "keypoints": kpts,
             "phase_logits": logits[0],
             "phase_labels": labels.astype(jnp.int32),
             "error_logits": err_logits[0],
         }
+        if spread is not None:
+            out["kpt_spread"] = spread
+        return out
 
     def _align_fn(self, params, kpts_a, valid_a, kpts_b, valid_b):
         """Soft-DTW alignment between two keypoint sequences."""
@@ -324,7 +373,7 @@ class Pipeline:
         return {"cost": cost, "path": path, "path_length": length}
 
     def _align_refine_fn(self, params, kpts, valid, ref_kpts, ref_valid,
-                         phase_logits):
+                         phase_logits, spread=None):
         """Alignment + alignment-conditioned error refinement (one pair).
 
         Realizes SURVEY.md §1 L3 ("error detection consumes L2 phases + L4
@@ -341,11 +390,12 @@ class Pipeline:
         out["error_logits"] = self.error_model.apply(
             params["error"], kpts[None], phase_logits[None], valid[None],
             ref_warp[None],
+            None if spread is None else spread[None],
         )[0]
         return out
 
     def _align_batch_fn(self, params, kpts, valid, ref_kpts, ref_valid,
-                        phase_logits=None):
+                        phase_logits=None, spread=None):
         """Align N clips against one reference swing in one program.
 
         kpts [N, T, V, 3], valid [N, T], ref_kpts [Tr, V, 3], ref_valid [Tr]
@@ -391,7 +441,7 @@ class Pipeline:
                 ref_kpts, path, length, kpts.shape[1]
             )
             out["error_logits"] = self.error_model.apply(
-                params["error"], kpts, phase_logits, valid, ref_warp
+                params["error"], kpts, phase_logits, valid, ref_warp, spread
             )
         return out
 
@@ -446,7 +496,7 @@ class Pipeline:
                 self.params,
                 out["keypoints"], jnp.asarray(valid),
                 jnp.asarray(reference.keypoints), jnp.asarray(reference.valid),
-                out["phase_logits"],
+                out["phase_logits"], out.get("kpt_spread"),
             )
             alignment = types.AlignmentResult(
                 cost=a["cost"], path=a["path"], path_length=a["path_length"]
@@ -561,7 +611,7 @@ class Pipeline:
                         self.params, out["keypoints"], jnp.asarray(vd),
                         jnp.asarray(reference.keypoints),
                         jnp.asarray(reference.valid),
-                        out["phase_logits"],
+                        out["phase_logits"], out.get("kpt_spread"),
                     )
                     out["alignment"] = a
                     out["error_logits"] = a["error_logits"]

@@ -52,7 +52,6 @@ def main():
     ap.add_argument("--pairs", type=int, default=4)
     ap.add_argument("--frames", type=int, default=48)
     ap.add_argument("--hw", type=int, nargs=2, default=(540, 960))
-    ap.add_argument("--severity", type=float, default=1.0)
     ap.add_argument("--seed", type=int, default=880_000)
     ap.add_argument("--min-defl-px", type=float, default=8.0)
     ap.add_argument("--radius", type=float, default=8.0)
@@ -101,16 +100,21 @@ def main():
         scale = np.asarray(boxes)[:, 3] / c.pose.heatmap_hw[0]  # img px / hm px
         return kpt_img, mom, scale
 
-    report = {"severity": args.severity, "pairs": args.pairs,
+    report = {"severity": "varied 0.4-1.15", "pairs": args.pairs,
               "hw": list(hw), "radius": args.radius, "faults": {}}
     for fault in args.faults:
         joints = FAULT_JOINTS[fault]
         rows = []  # (pair, target, dev, excess_f, excess_c)
         for p in range(args.pairs):
+            # Severity VARIES across pairs: at fixed severity the target
+            # magnitude is near-constant, so any fit with an intercept
+            # trivially predicts the mean (first probe run reported a
+            # meaningless 1.000 combo gain for every fault).
+            sev = 0.4 + 0.75 * p / max(args.pairs - 1, 1)
             seed = (args.seed + 977 * (p + 1)
                     + 13 * cfg_mod.SWING_ERRORS.index(fault))
             s_fault, s_clean = _probe_common.render_pair(
-                fault, args.severity, seed, args.frames, hw)
+                fault, sev, seed, args.frames, hw)
             kp_f, mom_f, sc_f = clip_stats(s_fault)
             kp_c, mom_c, sc_c = clip_stats(s_clean)
             T = args.frames
@@ -140,25 +144,32 @@ def main():
         arr = np.asarray(rows, np.float64)
         tgt, dev, exf, exc = arr[:, 1], arr[:, 2], arr[:, 3], arr[:, 4]
         gain_dev = float((dev @ tgt) / (tgt @ tgt))
-        # Leave-one-pair-out: fit s_hat = a*dev + b*excess (+c) on the
-        # other pairs, evaluate gain on the held-out one.
-        num = den = 0.0
-        for p in range(args.pairs):
-            tr, te = arr[:, 0] != p, arr[:, 0] == p
-            if not te.any() or tr.sum() < 4:
-                continue
-            X = np.stack([dev, exf, np.ones_like(dev)], 1)
-            coef, *_ = np.linalg.lstsq(X[tr], tgt[tr], rcond=None)
-            s_hat = X[te] @ coef
-            num += float(s_hat @ tgt[te])
-            den += float(tgt[te] @ tgt[te])
-        gain_combo = float(num / max(den, 1e-9))
+
+        # Leave-one-pair-out, NO intercept (an intercept would just learn
+        # the fault's mean magnitude): fit s_hat = a*dev [+ b*excess] on
+        # the other pairs, evaluate gain on the held-out one.
+        def lopo_gain(cols):
+            num = den = 0.0
+            X = np.stack(cols, 1)
+            for p in range(args.pairs):
+                tr, te = arr[:, 0] != p, arr[:, 0] == p
+                if not te.any() or tr.sum() < 4:
+                    continue
+                coef, *_ = np.linalg.lstsq(X[tr], tgt[tr], rcond=None)
+                s_hat = X[te] @ coef
+                num += float(s_hat @ tgt[te])
+                den += float(tgt[te] @ tgt[te])
+            return float(num / max(den, 1e-9))
+
+        gain_dev_lopo = lopo_gain([dev])
+        gain_combo = lopo_gain([dev, exf])
         # Separability of the excess statistic alone (fault vs clean twin
         # on the SAME frames): P(excess_f > excess_c).
         auc = float(np.mean(exf > exc))
         entry = {
             "rows": len(rows),
             "gain_dev_only": round(gain_dev, 3),
+            "gain_dev_lopo": round(gain_dev_lopo, 3),
             "gain_combo_lopo": round(gain_combo, 3),
             "excess_auc_vs_twin": round(auc, 3),
             "median_excess_fault_px": round(float(np.median(exf)), 2),

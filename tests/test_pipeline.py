@@ -231,3 +231,57 @@ def test_preprocess_dtype_bf16_keypoint_parity(pipe):
     # the warp dtype (same peaks up to sub-pixel wiggle).
     assert np.median(np.abs(k1 - k0)) < 2.0
     assert np.isfinite(k1).all()
+
+
+def test_spread_features_pipeline_paths():
+    """error.spread_features wires heatmap covariance through analyze /
+    compare / batch without touching the decoded keypoints."""
+    import dataclasses
+
+    cfg_sp = dataclasses.replace(
+        TINY, error=dataclasses.replace(TINY.error, spread_features=True))
+    p = orchestrator.Pipeline(cfg_sp, seed=0)
+    frames = _swing_frames(t=10)
+    r = p.analyze(frames)
+    assert np.isfinite(np.asarray(r.error_probs)).all()
+
+    ref = p.extract_skeleton(r)
+    r2 = p.analyze(frames, reference=ref)
+    assert r2.alignment is not None
+    assert np.isfinite(np.asarray(r2.error_probs)).all()
+
+    rs = p.analyze_batch([frames, frames], reference=ref)
+    np.testing.assert_allclose(np.asarray(rs[0].error_probs),
+                               np.asarray(rs[1].error_probs), atol=1e-5)
+
+    # Decode path is untouched by the spread plumbing.
+    p0 = orchestrator.Pipeline(TINY, seed=0)
+    p0.params = dict(p.params, error=p0.params["error"])
+    r0 = p0.analyze(frames)
+    np.testing.assert_allclose(np.asarray(r0.keypoints),
+                               np.asarray(r.keypoints), atol=1e-6)
+
+
+def test_error_head_spread_reacts_to_covariance():
+    """The spread block must actually reach the logits: widening the
+    covariance along the deviation direction changes the output."""
+    import jax
+
+    from golfaction_tpu.models import error as error_mod
+
+    cfg = cfg_mod.ErrorConfig(spread_features=True, dtype="float32")
+    m = error_mod.create_error_model(cfg)
+    rng = np.random.default_rng(0)
+    B, T, V = 1, 12, 17
+    sk = jnp.asarray(rng.normal(500, 40, (B, T, V, 3)).astype(np.float32))
+    ref = sk + 5.0
+    pl = jnp.zeros((B, T, cfg_mod.NUM_PHASES))
+    v = jnp.ones((B, T), bool)
+    params = m.init(jax.random.key(0), sk, pl, v)
+    floor = np.full((B, T, V, 1), 25.0, np.float32)
+    narrow = np.concatenate([floor, 0 * floor, floor, floor], -1)
+    wide = narrow.copy()
+    wide[..., 0] += 900.0  # large excess variance along x
+    out_n = m.apply(params, sk, pl, v, ref, jnp.asarray(narrow))
+    out_w = m.apply(params, sk, pl, v, ref, jnp.asarray(wide))
+    assert float(jnp.abs(out_n - out_w).max()) > 1e-3

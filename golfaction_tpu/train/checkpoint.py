@@ -164,11 +164,50 @@ def detect_pose_in_frames(root: str) -> int:
     return max(int(shape[2]) // 3, 1)
 
 
+def detect_error_spread(root: str) -> Optional[bool]:
+    """Infer error.spread_features from a saved error checkpoint's first
+    Dense kernel input dim (the spread block adds 2*V feature channels,
+    so the two variants are not shape-compatible).  Returns None when no
+    error checkpoint exists or the shape matches neither variant."""
+    root = os.path.abspath(root)
+    base = os.path.join(root, "params") if os.path.isdir(
+        os.path.join(root, "params")
+    ) else root
+    in_dim = None
+    step_dir = latest_step_dir(os.path.join(base, "error"))
+    if step_dir:
+        try:
+            meta = ocp.StandardCheckpointer().metadata(step_dir).item_metadata
+            in_dim = int(meta["params"]["Dense_0"]["kernel"].shape[0])
+        except Exception:
+            return None
+    else:
+        npz = os.path.join(base, "error.npz")
+        if os.path.exists(npz):
+            try:
+                with np.load(npz) as d:
+                    in_dim = int(d["params/Dense_0/kernel"].shape[0])
+            except Exception:
+                return None
+    if in_dim is None:
+        return None
+    from golfaction_tpu.models.error import NUM_ANGLE_FEATURES
+    from golfaction_tpu.graph import NUM_JOINTS as V
+
+    base_dim = 2 * V + 2 * V + 2 * NUM_ANGLE_FEATURES + 3 * V + 1
+    if in_dim == base_dim:
+        return False
+    if in_dim == base_dim + 2 * V:
+        return True
+    return None
+
+
 def config_for_artifacts(cfg, root: str):
     """Adapt a PipelineConfig to an artifacts tree: set pose.in_frames to
     the width the saved pose checkpoint was trained with (see
-    detect_pose_in_frames), and enable the keypoint refiner when the tree
-    carries a trained `refine` checkpoint.  No-op when they agree."""
+    detect_pose_in_frames), enable the keypoint refiner when the tree
+    carries a trained `refine` checkpoint, and match error.spread_features
+    to the saved error head's feature dim.  No-op when they agree."""
     overrides = []
     nf = detect_pose_in_frames(root)
     if nf != cfg.pose.in_frames:
@@ -179,6 +218,9 @@ def config_for_artifacts(cfg, root: str):
     has_refine = latest_step_dir(os.path.join(base, "refine")) is not None
     if has_refine != cfg.refine.enabled:
         overrides.append(f"refine.enabled={has_refine}")   # Python literal
+    spread = detect_error_spread(root)
+    if spread is not None and spread != cfg.error.spread_features:
+        overrides.append(f"error.spread_features={spread}")
     if not overrides:
         return cfg
     from golfaction_tpu import config as cfg_mod

@@ -872,3 +872,67 @@ def conditioned_gain(
     g[meas] = np.clip(m[meas] * rng.uniform(*spread, int(meas.sum())),
                       floor, 1.0)
     return g
+
+
+def synth_spread(
+    kpts: np.ndarray,
+    pose_cfg,
+    image_hw: tuple[int, int],
+    rng: np.random.Generator,
+    defl_vec: Optional[np.ndarray] = None,
+    gain: Optional[np.ndarray] = None,
+    blur_iso: Optional[np.ndarray] = None,
+) -> np.ndarray:
+    """Simulated runtime heatmap-spread statistics for synthetic clips.
+
+    The runtime error head consumes per-joint heatmap covariances
+    (orchestrator._pose_pass want_spread).  Synthetic cascade clips have no
+    heatmaps, so their spread channel must be MODELED — consistently with
+    the attenuation simulation: a deflection passed at gain g corresponds
+    to a merged two-component blob whose covariance along the deflection
+    axis carries the suppressed remainder, var += g(1-g)·d² (the same
+    identity probe_heatmap_spread.json validates on real heatmaps).
+
+    kpts      [N, T, V, 3]  attenuated keypoints fed to the head (image px)
+    defl_vec  [N, T, V, 2]  FULL-strength deflection (faulty − clean)
+    gain      [N, 1, V, 1]  per-joint gain actually applied to build kpts
+    blur_iso  [V]           measured per-joint isotropic excess VARIANCE
+                            (px²) of the real pose front on rendered clips
+                            — synthetic floors must match it or "narrow
+                            blob" becomes a synthetic-domain giveaway.
+
+    Returns [N, T, V, 4]: (cov_xx, cov_xy, cov_yy, floor) in image px².
+    """
+    import jax.numpy as jnp
+
+    from golfaction_tpu.ops import affine
+
+    N, T, V = kpts.shape[:3]
+    hm_h = pose_cfg.heatmap_hw[0]
+    boxes = affine.boxes_from_keypoints(
+        jnp.asarray(kpts), image_hw, min_size=0.1 * image_hw[0])
+    boxes = affine.box_to_center_scale(
+        boxes, aspect_ratio=pose_cfg.input_hw[1] / pose_cfg.input_hw[0])
+    s = np.asarray(boxes)[..., 3] / hm_h                      # [N, T]
+    floor = (pose_cfg.sigma * s) ** 2                         # px²
+    # Isotropic base: target floor + measured blur excess, jittered
+    # per (clip, joint) with a lognormal so the head never sees an exact
+    # constant, plus mild per-frame noise.
+    if blur_iso is None:
+        blur_iso = np.zeros(V, np.float32)
+    jit_cj = rng.lognormal(0.0, 0.4, (N, 1, V))
+    jit_t = rng.lognormal(0.0, 0.15, (N, T, V))
+    iso = (floor[..., None] + blur_iso[None, None, :] * jit_cj) * jit_t
+    cov = np.zeros((N, T, V, 3), np.float32)
+    cov[..., 0] = iso
+    cov[..., 2] = iso
+    if defl_vec is not None and gain is not None:
+        g = np.broadcast_to(gain, (N, 1, V, 1))[:, 0, :, 0]   # [N, V]
+        w = np.clip(g[:, None, :] * (1.0 - g[:, None, :]), 0.0, 0.25)
+        d = defl_vec.astype(np.float32)                       # [N, T, V, 2]
+        cov[..., 0] += w * d[..., 0] * d[..., 0]
+        cov[..., 1] += w * d[..., 0] * d[..., 1]
+        cov[..., 2] += w * d[..., 1] * d[..., 1]
+    return np.concatenate(
+        [cov, floor[..., None, None].repeat(V, axis=2)], axis=-1
+    ).astype(np.float32)

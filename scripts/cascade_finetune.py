@@ -50,6 +50,14 @@ def main():
     ap.add_argument("--refine-fault-weight", type=float, default=3.0,
                     help="refiner loss upweight for fault-displaced "
                          "joints/frames (SwingSample.fault_defl)")
+    ap.add_argument("--spread", action="store_true",
+                    help="train the error head WITH heatmap-spread "
+                         "features (error.spread_features): collects real "
+                         "spread through the pose front, simulates "
+                         "g(1-g)-consistent spread for synthetic clips, "
+                         "and re-initializes the head (feature dim "
+                         "changes).  Subsequent runs auto-detect from the "
+                         "saved checkpoint")
     ap.add_argument("--gain-profile", default=None,
                     help="probe_arm_gain.json with the promoted pose "
                          "front's measured per-fault/per-joint deflection "
@@ -80,8 +88,21 @@ def main():
     cfg = cfg_mod.get_config("full_pipeline", video_hw=tuple(args.hw),
                              length_buckets=(args.frames,))
     cfg = checkpoint.config_for_artifacts(cfg, args.artifacts)
+    if args.spread and not cfg.error.spread_features:
+        cfg = cfg_mod.apply_overrides(cfg, ["error.spread_features=True"])
     pipe = orchestrator.Pipeline(cfg, seed=0)
-    pipe.params = checkpoint.load_pipeline_params(args.artifacts, like=pipe.params)
+    like = dict(pipe.params)
+    if args.spread:
+        # The pre-spread error checkpoint cannot restore into the widened
+        # head; load everything else and keep the fresh error init (it is
+        # re-initialized and fully trained below anyway).
+        err_like = like.pop("error")
+        pipe.params = checkpoint.load_pipeline_params(args.artifacts,
+                                                      like=like)
+        pipe.params["error"] = err_like
+    else:
+        pipe.params = checkpoint.load_pipeline_params(args.artifacts,
+                                                      like=like)
 
     # ---- 1. Collect predicted keypoints through the real pipeline front ----
     log(f"rendering {args.clips} clips + running pose front ...")
@@ -93,17 +114,38 @@ def main():
     from golfaction_tpu.pipeline import video_io
     from golfaction_tpu.ops import affine
 
-    pred_kpts, labels, flags = [], [], []
+    use_spread = cfg.error.spread_features
+    pred_kpts, pred_spread, labels, flags = [], [], [], []
     for s in samples:
         boxes = video_io.estimate_person_boxes(s.frames)
-        kp = pipe._pose_only(pipe.params, jnp.asarray(s.frames),
-                             jnp.asarray(boxes))
+        if use_spread:
+            kp, spr = pipe._pose_spread(pipe.params, jnp.asarray(s.frames),
+                                        jnp.asarray(boxes))
+            pred_spread.append(np.asarray(spr))
+        else:
+            kp = pipe._pose_only(pipe.params, jnp.asarray(s.frames),
+                                 jnp.asarray(boxes))
         pred_kpts.append(np.asarray(kp))
         labels.append(s.phase_labels)
         flags.append(s.error_flags)
     pred_kpts = np.stack(pred_kpts)                    # [N, T, V, 3]
     labels = np.stack(labels)
     flags = np.stack(flags)
+
+    blur_iso = None
+    if use_spread:
+        pred_spread = np.stack(pred_spread)            # [N, T, V, 4]
+        # Measured per-joint isotropic excess variance of the REAL pose
+        # front (motion blur widens blobs even on clean joints): the
+        # synthetic clips' spread must match it or blob width becomes a
+        # synthetic-domain giveaway (same lesson as the AR(1) noise match).
+        iso_exc = np.maximum(
+            0.5 * (pred_spread[..., 0] + pred_spread[..., 2])
+            - pred_spread[..., 3], 0.0)
+        blur_iso = np.median(iso_exc, axis=(0, 1)).astype(np.float32)
+        log(f"[spread] measured blur excess (median px²): "
+            f"hips {blur_iso[11]:.0f} elbows {blur_iso[7]:.0f}/"
+            f"{blur_iso[8]:.0f} wrists {blur_iso[9]:.0f}/{blur_iso[10]:.0f}")
 
     # Noise-matched synthetic augmentation: measure the pose stage's actual
     # per-joint residual spread AND temporal autocorrelation on the rendered
@@ -269,6 +311,13 @@ def main():
             jnp.asarray(aug_k), jnp.ones(aug_k.shape[:2], bool)))
         pipe.params = dict(pipe.params, refine=rparams)
 
+    pool_spread = None
+    if use_spread:
+        # Aug-pool clips carry FULL (unattenuated) deflections, so their
+        # simulated blobs are isotropic: floor + measured blur excess only.
+        aug_spread = data.synth_spread(aug_k, cfg.pose, tuple(args.hw),
+                                       rng_aug, blur_iso=blur_iso)
+        pool_spread = jnp.asarray(np.concatenate([pred_spread, aug_spread]))
     pred_kpts = np.concatenate([pred_kpts, aug_k])
     labels = np.concatenate([labels, np.stack([s.phase_labels for s in aug])])
     flags = np.concatenate([flags, np.stack([s.error_flags for s in aug])])
@@ -326,8 +375,8 @@ def main():
     ref_warp = jnp.asarray(ref_np)  # raw: the error head clip-normalizes
 
     def err_loss(params, batch):
-        s, pl_, f, v, rw = batch
-        logits = err_model.apply(params, s, pl_, v, rw)
+        s, pl_, f, v, rw, sp = batch
+        logits = err_model.apply(params, s, pl_, v, rw, sp)
         loss = losses.error_bce(logits, f)
         pred = (jax.nn.sigmoid(logits) > 0.5).astype(jnp.float32)
         acc = (pred == f).mean()
@@ -335,6 +384,20 @@ def main():
 
     estep = loops._make_step(err_loss, tx)
     eparams = pipe.params["error"]
+    if use_spread:
+        # The spread block changes the head's feature dim; a checkpoint
+        # trained without it cannot be restored into the new shape — start
+        # the head fresh (it is small; the cascade run trains it fully).
+        fresh = err_model.init(
+            jax.random.key(11), pred_kpts[:1], gcn_logits[:1], valid[:1])
+        shapes_ok = jax.tree.all(jax.tree.map(
+            lambda a, b: a.shape == b.shape, eparams, fresh)) \
+            if jax.tree.structure(eparams) == jax.tree.structure(fresh) \
+            else False
+        if not shapes_ok:
+            log("[error-cascade] feature dim changed (spread_features): "
+                "re-initializing the error head")
+            eparams = fresh
     eopt = tx.init(eparams)
 
     # Infinite-stream batches: HALF each batch is FRESH synthetic clips
@@ -398,6 +461,7 @@ def main():
         g = np.stack([data.conditioned_gain(rng_aug, gain_tab, s.error_flags)
                       for s in fresh])
         g = g[:, None, :, None]
+        dfl = (fk - ck)[..., :2]           # FULL-strength deflection
         fk = ck + (fk - ck) * g
         nz = np.empty((half, T, fk.shape[2], 2), np.float32)
         nz[:, 0] = rng_aug.normal(0, 1.0, nz[:, 0].shape)
@@ -405,6 +469,13 @@ def main():
             nz[:, tt] = rho * nz[:, tt - 1] + rng_aug.normal(
                 0, innov, nz[:, 0].shape)
         fk[..., :2] += nz * sigma_v
+        sp_all = None
+        if use_spread:
+            # Spread consistent with the attenuation just applied: the
+            # g(1-g)·d² suppressed-component term along the deflection.
+            sp_f = data.synth_spread(fk, cfg.pose, tuple(args.hw), rng_aug,
+                                     defl_vec=dfl, gain=g,
+                                     blur_iso=blur_iso)
         fk = jnp.asarray(fk)
         v_f = jnp.ones((half, T), bool)
         if refine_apply is not None:   # runtime parity: head sees refined
@@ -412,6 +483,8 @@ def main():
         sk_f = gcn_mod.normalize_skeleton(fk, v_f)  # GCN wants normalized
         fl_f = jnp.asarray(np.stack([s.error_flags for s in fresh]))
         idx = jnp.asarray(rng.choice(N, size=half, replace=False))
+        if use_spread:
+            sp_all = jnp.concatenate([jnp.asarray(sp_f), pool_spread[idx]])
         k_all = jnp.concatenate([fk, pred_kpts[idx]])  # RAW for error head
         v_all = jnp.concatenate([v_f, valid[idx]])
         pl_all = jnp.concatenate([gcn_fwd(gparams, sk_f, v_f),
@@ -425,7 +498,7 @@ def main():
             rw = jnp.concatenate([jnp.asarray(rw_f), ref_warp[idx]])
         else:
             rw = None
-        return k_all, pl_all, fl_all, v_all, rw
+        return k_all, pl_all, fl_all, v_all, rw, sp_all
 
     for i in range(args.steps * 2):
         eparams, eopt, aux = estep(eparams, eopt, err_batch(i))

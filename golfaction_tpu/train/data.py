@@ -842,6 +842,58 @@ def load_gain_profile(path: str) -> Optional[np.ndarray]:
     return tab
 
 
+def load_spread_profile(path: str) -> Optional[np.ndarray]:
+    """probe_heatmap_spread.json -> per-(fault, joint) beta table [E, 17].
+
+    beta is the measured spread-transfer coefficient: the fraction of the
+    mixture-model excess variance g(1-g)·d² that REAL heatmaps deliver
+    along the deflection direction.  NaN where unmeasured; None when the
+    file does not exist.
+    """
+    import json as _json
+    import os as _os
+
+    if not _os.path.exists(path):
+        return None
+    with open(path) as f:
+        prof = _json.load(f)
+    tab = np.full((len(cfg_mod.SWING_ERRORS), graph.NUM_JOINTS), np.nan,
+                  np.float32)
+    for e, name in enumerate(cfg_mod.SWING_ERRORS):
+        per_joint = prof.get("faults", {}).get(name, {}).get(
+            "per_joint_beta", {})
+        for js, bv in per_joint.items():
+            tab[e, int(js)] = bv
+    return tab
+
+
+def conditioned_beta(
+    beta_tab: Optional[np.ndarray],
+    error_flags: np.ndarray,
+    default: float = 1.0,
+) -> np.ndarray:
+    """Per-joint spread-transfer beta [17] for one simulated cascade clip.
+
+    For each joint, the MAX measured beta across the clip's active faults
+    (a joint deflected by two faults shows the stronger spread signature);
+    `default` where nothing is measured.  Unlike conditioned_gain this is
+    deterministic — beta scales a term that already carries lognormal
+    jitter in synth_spread.
+    """
+    V = beta_tab.shape[1] if beta_tab is not None else graph.NUM_JOINTS
+    b = np.full(V, default, np.float32)
+    if beta_tab is None:
+        return b
+    active = np.flatnonzero(np.asarray(error_flags) > 0.5)
+    if active.size == 0:
+        return b
+    ba = np.where(np.isnan(beta_tab[active]), -np.inf, beta_tab[active])
+    m = ba.max(axis=0)
+    meas = np.isfinite(m)
+    b[meas] = m[meas]
+    return b
+
+
 def conditioned_gain(
     rng: np.random.Generator,
     gain_tab: Optional[np.ndarray],
@@ -882,6 +934,7 @@ def synth_spread(
     defl_vec: Optional[np.ndarray] = None,
     gain: Optional[np.ndarray] = None,
     blur_iso: Optional[np.ndarray] = None,
+    beta: Optional[np.ndarray] = None,
 ) -> np.ndarray:
     """Simulated runtime heatmap-spread statistics for synthetic clips.
 
@@ -929,6 +982,11 @@ def synth_spread(
     if defl_vec is not None and gain is not None:
         g = np.broadcast_to(gain, (N, 1, V, 1))[:, 0, :, 0]   # [N, V]
         w = np.clip(g[:, None, :] * (1.0 - g[:, None, :]), 0.0, 0.25)
+        if beta is not None:
+            # Measured per-joint spread-transfer: real heatmaps deliver
+            # only beta of the mixture-model excess (probe_heatmap_spread
+            # "beta"; 0 for faults whose blobs stay tight, e.g. casting).
+            w = w * np.broadcast_to(beta, (N, V))[:, None, :]
         d = defl_vec.astype(np.float32)                       # [N, T, V, 2]
         cov[..., 0] += w * d[..., 0] * d[..., 0]
         cov[..., 1] += w * d[..., 0] * d[..., 1]

@@ -50,6 +50,10 @@ def main():
     ap.add_argument("--refine-fault-weight", type=float, default=3.0,
                     help="refiner loss upweight for fault-displaced "
                          "joints/frames (SwingSample.fault_defl)")
+    ap.add_argument("--pool-rendered-frac", type=float, default=0.0,
+                    help="fraction of the pool half-batch drawn from the "
+                         "RENDERED clips (real heatmap spread) instead of "
+                         "uniformly over rendered+synthetic")
     ap.add_argument("--spread", action="store_true",
                     help="train the error head WITH heatmap-spread "
                          "features (error.spread_features): collects real "
@@ -421,6 +425,14 @@ def main():
         log(f"attenuation sampling conditioned on measured profile "
             f"{prof_path} ({int(np.isfinite(gain_tab).sum())} fault-joint "
             f"gains)")
+    beta_tab = None
+    if use_spread:
+        beta_path = f"{args.artifacts}/probe_heatmap_spread.json"
+        beta_tab = data.load_spread_profile(beta_path)
+        if beta_tab is not None:
+            log(f"synthetic spread scaled by measured per-fault transfer "
+                f"{beta_path} ({int(np.isfinite(beta_tab).sum())} "
+                f"fault-joint betas)")
 
     def _fresh_pairs(i):
         """half (faulty, clean-counterpart) clips sharing style/tempo/noise
@@ -472,17 +484,32 @@ def main():
         sp_all = None
         if use_spread:
             # Spread consistent with the attenuation just applied: the
-            # g(1-g)·d² suppressed-component term along the deflection.
+            # g(1-g)·d² suppressed-component term along the deflection,
+            # scaled by the measured per-fault transfer beta.
+            bb = np.stack([data.conditioned_beta(beta_tab, s.error_flags)
+                           for s in fresh])[:, None, :, None]
             sp_f = data.synth_spread(fk, cfg.pose, tuple(args.hw), rng_aug,
                                      defl_vec=dfl, gain=g,
-                                     blur_iso=blur_iso)
+                                     blur_iso=blur_iso, beta=bb)
         fk = jnp.asarray(fk)
         v_f = jnp.ones((half, T), bool)
         if refine_apply is not None:   # runtime parity: head sees refined
             fk = refine_apply(fk, v_f)
         sk_f = gcn_mod.normalize_skeleton(fk, v_f)  # GCN wants normalized
         fl_f = jnp.asarray(np.stack([s.error_flags for s in fresh]))
-        idx = jnp.asarray(rng.choice(N, size=half, replace=False))
+        if args.pool_rendered_frac > 0:
+            # Upweight the rendered clips (the only pool examples whose
+            # spread statistics are REAL heatmap measurements): the pool
+            # is 48 rendered / 256 synthetic, so uniform sampling shows
+            # the head modeled spread 92% of the time.
+            nr = min(int(round(half * args.pool_rendered_frac)),
+                     len(samples))
+            i_r = rng.choice(len(samples), size=nr, replace=False)
+            i_s = rng.choice(np.arange(len(samples), N),
+                             size=half - nr, replace=False)
+            idx = jnp.asarray(np.concatenate([i_r, i_s]))
+        else:
+            idx = jnp.asarray(rng.choice(N, size=half, replace=False))
         if use_spread:
             sp_all = jnp.concatenate([jnp.asarray(sp_f), pool_spread[idx]])
         k_all = jnp.concatenate([fk, pred_kpts[idx]])  # RAW for error head

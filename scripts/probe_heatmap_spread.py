@@ -166,8 +166,23 @@ def main():
         # Separability of the excess statistic alone (fault vs clean twin
         # on the SAME frames): P(excess_f > excess_c).
         auc = float(np.mean(exf > exc))
+        # Spread-transfer coefficient: how much of the mixture-model
+        # prediction (excess variance = g(1-g)·d², with g·d ≈ the decoded
+        # dev) the REAL heatmaps deliver.  The synthetic cascade spread
+        # must be scaled by this per fault, or the error head learns to
+        # trust a signal runtime never produces (measured: the beta=1
+        # synthetic model regressed casting calib-F1 0.97 -> 0.73 because
+        # real casting heatmaps carry ~zero directional excess).
+        denom = float(np.mean(np.maximum(dev * (tgt - dev), 0.0)))
+        beta = float(np.clip(
+            (np.mean(exf ** 2) - np.mean(exc ** 2)) / max(denom, 1e-6),
+            0.0, 1.5))
         entry = {
             "rows": len(rows),
+            "beta": round(beta, 3),
+            # Same scalar per affected joint — the format
+            # data.load_spread_profile consumes (mirrors per_joint_gain).
+            "per_joint_beta": {str(j): round(beta, 3) for j in joints},
             "gain_dev_only": round(gain_dev, 3),
             "gain_dev_lopo": round(gain_dev_lopo, 3),
             "gain_combo_lopo": round(gain_combo, 3),

@@ -986,7 +986,8 @@ def synth_spread(
             # Measured per-joint spread-transfer: real heatmaps deliver
             # only beta of the mixture-model excess (probe_heatmap_spread
             # "beta"; 0 for faults whose blobs stay tight, e.g. casting).
-            w = w * np.broadcast_to(beta, (N, V))[:, None, :]
+            b = np.broadcast_to(beta, (N, 1, V, 1))[:, 0, :, 0]
+            w = w * b[:, None, :]
         d = defl_vec.astype(np.float32)                       # [N, T, V, 2]
         cov[..., 0] += w * d[..., 0] * d[..., 0]
         cov[..., 1] += w * d[..., 0] * d[..., 1]

@@ -241,3 +241,55 @@ def test_load_gain_profile_and_conditioned_gain(tmp_path):
     g0 = data.conditioned_gain(rng, tab, np.zeros_like(flags))
     gN = data.conditioned_gain(rng, None, flags)
     assert g0.min() >= 0.35 and gN.min() >= 0.35
+
+
+def test_load_spread_profile_and_conditioned_beta(tmp_path):
+    import json
+
+    prof = {"faults": {
+        "chicken_wing": {"per_joint_beta": {"7": 0.4}},
+        "casting": {"per_joint_beta": {"9": 0.0, "10": 0.05}},
+    }}
+    p = tmp_path / "probe_heatmap_spread.json"
+    p.write_text(json.dumps(prof))
+    tab = data.load_spread_profile(str(p))
+    assert tab.shape == (len(cfg_mod.SWING_ERRORS), 17)
+    cw = cfg_mod.SWING_ERRORS.index("chicken_wing")
+    ca = cfg_mod.SWING_ERRORS.index("casting")
+    assert tab[cw, 7] == np.float32(0.4) and np.isnan(tab[cw, 8])
+    assert tab[ca, 9] == 0.0
+
+    flags = np.zeros(len(cfg_mod.SWING_ERRORS)); flags[cw] = 1
+    b = data.conditioned_beta(tab, flags)
+    assert b[7] == np.float32(0.4) and b[0] == 1.0  # unmeasured -> default
+    flags[ca] = 1
+    b2 = data.conditioned_beta(tab, flags)
+    assert b2[9] == 0.0 and b2[7] == np.float32(0.4)
+    assert data.load_spread_profile(str(tmp_path / "missing.json")) is None
+
+
+def test_synth_spread_mixture_term_and_beta():
+    from golfaction_tpu.config import PoseConfig
+
+    rng = np.random.default_rng(0)
+    N, T, V = 3, 10, 17
+    k = rng.normal(500, 60, (N, T, V, 3)).astype(np.float32)
+    d = np.zeros((N, T, V, 2), np.float32)
+    d[..., 7, 0] = 30.0                       # x-deflection at the elbow
+    g = np.ones((N, 1, V, 1), np.float32)
+    g[:, :, 7] = 0.5                          # half-attenuated
+    base = data.synth_spread(k, PoseConfig(), (540, 960),
+                             np.random.default_rng(1), d, g,
+                             blur_iso=np.zeros(V))
+    # Mixture term g(1-g)d^2 = 0.25*900 = 225 px^2 on cov_xx at joint 7.
+    iso = base[..., 7, 2]                     # cov_yy: no deflection in y
+    exc = base[..., 7, 0] - iso
+    assert abs(np.median(exc) - 225.0) < 30.0, np.median(exc)
+    # beta scales the term; beta=0 kills it.
+    b = np.ones((N, 1, V, 1), np.float32); b[:, :, 7] = 0.0
+    off = data.synth_spread(k, PoseConfig(), (540, 960),
+                            np.random.default_rng(1), d, g,
+                            blur_iso=np.zeros(V), beta=b)
+    assert np.allclose(off[..., 7, 0], off[..., 7, 2])
+    # Floor channel present and positive everywhere.
+    assert (base[..., 3] > 0).all()

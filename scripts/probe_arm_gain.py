@@ -84,12 +84,15 @@ def main():
     cfg = cfg_mod.get_config(
         "full_pipeline", video_hw=hw, length_buckets=(args.frames,)
     )
+    # Match the whole artifacts tree first (incl. error.spread_features:
+    # a spread-widened error checkpoint can't restore into the base head),
+    # then apply the pose-candidate's own in_frames when given.
+    cfg = checkpoint.config_for_artifacts(cfg, args.artifacts)
     nf = args.pose_in_frames
-    if nf is None:
-        root = (os.path.dirname(os.path.dirname(args.pose_dir.rstrip("/")))
-                if args.pose_dir else args.artifacts)
+    if nf is None and args.pose_dir:
+        root = os.path.dirname(os.path.dirname(args.pose_dir.rstrip("/")))
         nf = checkpoint.detect_pose_in_frames(root)
-    if nf != 1:
+    if nf is not None and nf != cfg.pose.in_frames:
         cfg = cfg_mod.apply_overrides(cfg, [f"pose.in_frames={nf}"])
     if args.overrides:
         cfg = cfg_mod.apply_overrides(cfg, args.overrides)

@@ -77,9 +77,10 @@ def main():
     hw = tuple(args.hw)
     cfg = cfg_mod.get_config("full_pipeline", video_hw=hw,
                              length_buckets=(args.frames,))
-    nf = checkpoint.detect_pose_in_frames(args.artifacts)
-    if nf != 1:
-        cfg = cfg_mod.apply_overrides(cfg, [f"pose.in_frames={nf}"])
+    # Match the artifacts tree (pose in_frames, refiner, and crucially
+    # error.spread_features — a spread-widened error checkpoint cannot
+    # restore into the base-width head).
+    cfg = checkpoint.config_for_artifacts(cfg, args.artifacts)
     pipe = orchestrator.Pipeline(cfg, seed=0)
     pipe.params = checkpoint.load_pipeline_params(args.artifacts,
                                                   like=pipe.params)

@@ -132,11 +132,20 @@ class Pipeline:
 
             rep = mesh_mod.replicated(self.mesh)
             bsh = mesh_mod.batch_sharding(self.mesh)
-            self._align_batch = jax.jit(
+            _align_jit = jax.jit(
                 self._align_batch_fn,
                 in_shardings=(rep, bsh, bsh, rep, rep, bsh, bsh),
                 out_shardings=bsh,
             )
+
+            # in_shardings is positional, so the jitted function must always
+            # see all 7 args even when callers rely on the trailing defaults.
+            def _align_full(params, kpts, valid, ref_kpts, ref_valid,
+                            phase_logits=None, spread=None):
+                return _align_jit(params, kpts, valid, ref_kpts, ref_valid,
+                                  phase_logits, spread)
+
+            self._align_batch = _align_full
         else:
             self._align_batch = jax.jit(self._align_batch_fn)
         self._align_refine = jax.jit(self._align_refine_fn)

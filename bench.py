@@ -69,11 +69,21 @@ def _fence(out):
     return float(jnp.sum(leaf.astype(jnp.float32)))
 
 
-def _time_fn(fn, *args, warmup=2, iters=5, min_time=1.0):
-    """Mean wall time per call with a completion-forcing fetch, and enough
-    iterations that total elapsed >= min_time so per-dispatch latency and
-    the final fetch amortize."""
+def _time_fn_repeats(fn, *args, warmup=2, iters=5, min_time=1.0, repeats=3):
+    """List of `repeats` independent steady-state per-call times, each a
+    TWO-POINT SLOPE fit: slope = (T(n2) - T(n1)) / (n2 - n1) where T(n) is
+    the wall time of n back-to-back calls closed by a completion-forcing
+    fetch.
 
+    The subtraction removes the fixed per-measurement-window cost — over
+    the tunneled TPU the fence round-trip + dispatch ramp measured 29-330
+    ms per window, which at short windows deflated identical programs by
+    up to 2.2x between days (the r3->r4 "regression" decomposition in
+    BASELINE.md).  The slope is the program's actual per-call device time;
+    repeats make environment noise visible in the record (VERDICT r3 weak
+    #1).  The measured fixed cost is kept in `_time_fn_repeats.last_fixed_s`
+    for reporting.
+    """
     for _ in range(warmup):
         _fence(fn(*args))
 
@@ -83,13 +93,27 @@ def _time_fn(fn, *args, warmup=2, iters=5, min_time=1.0):
         for _ in range(n):
             out = fn(*args)
         _fence(out)
-        return (time.perf_counter() - t0) / n
+        return time.perf_counter() - t0
 
-    dt = run(iters)
-    total = dt * iters
-    if total < min_time:
-        dt = run(max(iters, min(int(min_time / max(dt, 1e-6)) + 1, 2000)))
-    return dt
+    dt = run(iters) / iters
+    # Size the windows: n1 ~ min_time/4 of calls, n2 = 5*n1 (capped).
+    n1 = max(iters, min(int(min_time / 4.0 / max(dt, 1e-7)) + 1, 400))
+    n2 = min(5 * n1, 2000)
+    slopes, fixed = [], []
+    for _ in range(repeats):
+        t1, t2 = run(n1), run(n2)
+        s = max((t2 - t1) / (n2 - n1), 1e-9)
+        slopes.append(s)
+        fixed.append(max(t1 - n1 * s, 0.0))
+    _time_fn_repeats.last_fixed_s = sorted(fixed)[len(fixed) // 2]
+    return slopes
+
+
+def _time_fn(fn, *args, warmup=2, iters=5, min_time=1.0):
+    """Median steady-state wall time per call over 3 slope measurements."""
+    dts = _time_fn_repeats(fn, *args, warmup=warmup, iters=iters,
+                           min_time=min_time)
+    return sorted(dts)[len(dts) // 2]
 
 
 def _program_flops(fn, *args):
@@ -307,11 +331,15 @@ def worker_main(args):
     def run_all():
         return pipe._core_batch(pipe.params, frames_dev, boxes_dev, valid_b)
 
-    dt = _time_fn(run_all, warmup=2, iters=args.iters)
+    dts = _time_fn_repeats(run_all, warmup=2, iters=args.iters, repeats=4)
+    dt = sorted(dts)[len(dts) // 2]          # median for the headline
     total_frames = args.clips * T
     fps = total_frames / dt
-    _log(f"[config 5] full pipeline (device program): {fps:,.1f} fps "
-         f"({dt*1e3:.1f} ms for {total_frames} frames)")
+    fps_best = total_frames / min(dts)
+    _log(f"[config 5] full pipeline (device program): {fps:,.1f} fps median"
+         f" / {fps_best:,.1f} fps best ({dt*1e3:.1f} ms for {total_frames} "
+         f"frames; repeats "
+         + "/".join(f"{total_frames/d:,.0f}" for d in dts) + ")")
 
     result = {
         "metric": "end_to_end_fps_1080p",
@@ -320,8 +348,15 @@ def worker_main(args):
         "vs_baseline": round(fps / 300.0, 3),
         # Both throughput views (VERDICT r1 item 3): `value`/`device_fps` is
         # the on-device pipeline program; `e2e_fps` additionally includes
-        # host mp4 decode, H2D transfer, and the result fetch.
+        # host mp4 decode, H2D transfer, and the result fetch.  device_fps
+        # is the MEDIAN of `device_fps_repeats` independent measurements;
+        # device_fps_best is the max (min-time) — a best/median gap flags
+        # a noisy chip environment rather than a program change.
         "device_fps": round(fps, 1),
+        "device_fps_best": round(fps_best, 1),
+        "device_fps_repeats": [round(total_frames / d, 1) for d in dts],
+        "fence_overhead_ms": round(
+            getattr(_time_fn_repeats, "last_fixed_s", 0.0) * 1e3, 1),
         "e2e_fps": None,
         "e2e_vs_baseline": None,
     }
@@ -445,6 +480,20 @@ def worker_main(args):
                 result["e2e_fps"] = round(e2e_fps, 1)
                 result["e2e_vs_baseline"] = round(e2e_fps / 300.0, 3)
                 result["e2e_clips"] = len(paths)
+                st = getattr(e2e_pipe, "last_batch_stats", None)
+                if st:
+                    # Overlap proof (VERDICT r3 task 3): host decode seconds
+                    # hidden behind device compute + transfer.
+                    hidden = max(0.0, st["decode_s_total"]
+                                 - st["first_dispatch_s"])
+                    _log(f"[config 5, e2e] host decode {st['decode_s_total']:.1f}s "
+                         f"({st['decode_workers']} threads) inside "
+                         f"{st['wall_s']:.1f}s wall; first dispatch at "
+                         f"{st['first_dispatch_s']:.1f}s -> "
+                         f"~{hidden:.1f}s decode overlapped")
+                    result["e2e_decode_s"] = round(st["decode_s_total"], 1)
+                    result["e2e_first_dispatch_s"] = round(
+                        st["first_dispatch_s"], 1)
                 _emit(result)
                 del results
         except Exception as e:

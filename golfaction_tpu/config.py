@@ -85,6 +85,13 @@ class PoseConfig:
     # Transition weight lam in: cost = -log(score) + lam*||xy_t - xy_{t-1}||²
     # (heatmap px²).
     track_lambda: float = 0.1
+    # NMS suppression radius (heatmap px) for tracked-decode mode
+    # extraction.  Must be BELOW the expected canonical-vs-true mode
+    # separation (~2.6 px measured, artifacts/probe_heatmap_modes.json) or
+    # extracting the first mode erases the second; at the default sigma-2
+    # training target the modes merge anyway, so this only matters for
+    # narrow-sigma candidates (poseG: sigma 1.25, radius 2).
+    track_suppress_radius: float = 3.0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -162,7 +162,11 @@ def topk_modes(
     nb = heatmaps.ndim - 2
     xk = jnp.moveaxis(xk, 0, nb)                      # [..., k]
     yk = jnp.moveaxis(yk, 0, nb)
-    pk = jnp.moveaxis(pk, 0, nb).astype(jnp.float32)
+    # Pad slots (all remaining pixels suppressed/non-maximal) carry the
+    # -1e30 sentinel at pixel (0,0); clamp to 0 so downstream consumers
+    # (viterbi_track unary cost, GCN confidence features) see "no mode"
+    # rather than a finite-cost corner ghost (ADVICE r3).
+    pk = jnp.maximum(jnp.moveaxis(pk, 0, nb).astype(jnp.float32), 0.0)
 
     x = xk.astype(jnp.float32)
     y = yk.astype(jnp.float32)
@@ -240,7 +244,13 @@ def viterbi_track(
     per-frame argmax flips (the measured 0.34 deflection gain).
     """
     xy = modes[..., :2]
-    unary = -jnp.log(jnp.maximum(modes[..., 2], eps))  # [T, ..., k]
+    score = modes[..., 2]
+    # Modes with score <= 0 are topk_modes pad slots (no k-th local max
+    # existed); bar them from selection outright instead of letting the
+    # eps clamp price them at a finite -log(eps) (ADVICE r3).
+    unary = jnp.where(
+        score > 0.0, -jnp.log(jnp.maximum(score, eps)), 1e9
+    )                                                  # [T, ..., k]
 
     def fwd(carry, inp):
         prev_cost, prev_xy = carry                     # [..., k], [..., k, 2]

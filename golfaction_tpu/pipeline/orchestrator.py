@@ -14,15 +14,17 @@ TPU-first structure:
     matmul MXU-sized.
   * Clip lengths are padded to configured buckets so jit compiles once per
     bucket and never retraces (SURVEY.md §7 hard part (c)).
-  * `analyze_batch` dispatches every clip before fetching any result:
-    JAX's async dispatch overlaps host decode of clip i+1 with device
-    compute of clip i — the "pipelined across clips" requirement of
+  * `analyze_batch` decodes clips on a host thread pool and dispatches
+    each clip-chunk the moment its clips are ready (bounded at two chunks
+    in flight), so OpenCV decode of later clips genuinely overlaps device
+    compute of earlier ones — the "pipelined across clips" requirement of
     BASELINE config 5.
 """
 
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Sequence, Union
 
 import jax
@@ -87,6 +89,8 @@ class Pipeline:
         device.  `logger`: optional utils.logging.JsonlLogger for structured
         per-call metrics (SURVEY.md §5 observability)."""
         self.logger = logger
+        # Decode-vs-compute overlap telemetry of the last analyze_batch call.
+        self.last_batch_stats: Optional[dict] = None
         self.cfg = cfg or get_config()
         c = self.cfg
         self.pose_model = pose_mod.create_pose_model(c.pose)
@@ -248,14 +252,19 @@ class Pipeline:
                                                     dtype=pre_dtype)
 
         def one_batch(args):
-            # Micro-batches carry frame INDICES, not frame slices: the
-            # multi-frame path (pose.in_frames > 1) gathers each frame's
-            # t±k neighbors from the single resident `frames` buffer and
-            # crops them with frame t's box — no 3x frame materialization.
-            idx, b = args
+            # Single-frame path (in_frames == 1): micro-batches carry frame
+            # SLICES so XLA fuses the contiguous read straight into the warp
+            # — routing it through jnp.take materializes a gathered copy of
+            # every 1080p micro-batch in HBM and was measured to halve the
+            # whole pose stage (r3->r4 regression, BASELINE.md).  Only the
+            # multi-frame path (in_frames > 1) carries INDICES, because each
+            # frame needs its t±k neighbors from the resident buffer without
+            # 3x frame materialization.
+            f_or_idx, b = args
             if half == 0:
-                crops = crop_one(jnp.take(frames, idx, axis=0), b)
+                crops = crop_one(f_or_idx, b)
             else:
+                idx = f_or_idx
                 crops = jnp.concatenate([
                     crop_one(jnp.take(frames,
                                       jnp.clip(idx + off, 0, T - 1), axis=0), b)
@@ -266,7 +275,9 @@ class Pipeline:
                 # Tracked decode: reduce each frame to its top-k NMS modes
                 # here (fused with the pose forward); the cross-frame
                 # Viterbi runs once over the assembled clip below.
-                dec = heatmap.topk_modes(hm, k=track_k)
+                dec = heatmap.topk_modes(
+                    hm, k=track_k,
+                    suppress_radius=c.pose.track_suppress_radius)
             elif use_pallas:
                 from golfaction_tpu.ops.pallas import decode_kernel
 
@@ -281,13 +292,16 @@ class Pipeline:
         track_k = c.pose.decode_tracking
         mode_dims = (c.pose.num_joints, track_k, 3) if track_k \
             else (c.pose.num_joints, 3)
-        idx_all = jnp.arange(T, dtype=jnp.int32)
-        if T % mb == 0 and T > mb:
-            ix = idx_all.reshape(T // mb, mb)
-            bx = boxes.reshape(T // mb, mb, 4)
-            out = jax.lax.map(one_batch, (ix, bx))
+        if half == 0:
+            first = frames          # sliced micro-batches (fused read)
         else:
-            out = one_batch((idx_all, boxes))
+            first = jnp.arange(T, dtype=jnp.int32)   # gathered neighbors
+        if T % mb == 0 and T > mb:
+            fx = first.reshape(T // mb, mb, *first.shape[1:])
+            bx = boxes.reshape(T // mb, mb, 4)
+            out = jax.lax.map(one_batch, (fx, bx))
+        else:
+            out = one_batch((first, boxes))
         mom = None
         if want_spread:
             kpts_hm, mom = out
@@ -528,14 +542,23 @@ class Pipeline:
         boxes: Optional[Sequence[np.ndarray]] = None,
         reference: Optional[types.Skeleton] = None,
         error_threshold: float = 0.5,
+        decode_workers: Optional[int] = None,
     ) -> list[types.AnalysisResult]:
         """Analyze many clips, batched on-device (config 5).
 
         Clips are grouped by padded length bucket and each group runs as ONE
         batched program (`vmap` over the clip axis), so the pose stage sees
         (clips x frame_batch)-frame MXU batches and no host round-trips
-        happen between stages.  Groups are dispatched before any fetch, so
-        host-side decode overlaps device compute.
+        happen between stages.
+
+        Host decode genuinely overlaps device compute (SURVEY.md §7 step 7;
+        VERDICT r3 weak #2): a `decode_workers`-thread pool decodes clips
+        while the main thread dispatches each `clip_batch` chunk the moment
+        its clips are ready — the first chunk starts on-device while later
+        clips are still in OpenCV.  Dispatch is bounded at two chunks in
+        flight so a 16 GB chip never holds more than two 1080p frame
+        batches.  Per-call overlap telemetry lands in
+        ``self.last_batch_stats`` (decode seconds vs wall seconds).
 
         If `reference` (a Skeleton, e.g. a pro swing) is given, every clip is
         soft-DTW-aligned against it in one batched device program per group
@@ -545,29 +568,35 @@ class Pipeline:
         Failure quarantine: a clip that fails decode/preparation yields its
         Exception at that index instead of an AnalysisResult; the remaining
         clips are processed normally.
+
+        Chunk membership follows decode-completion order, which may vary
+        run to run; per-clip outputs are unaffected (the vmapped core is
+        clip-independent and pad-slot outputs are discarded).
         """
+        import concurrent.futures as _cf
+        import time as _time
+
+        t_start = _time.perf_counter()
+        n_vids = len(videos)
+        prepared: list = [None] * n_vids
+        failures: dict[int, Exception] = {}
+        decode_s = [0.0] * n_vids
+        first_dispatch_t = [None]
+
         # Per-clip quarantine (SURVEY.md §5 failure detection): a corrupt or
         # oversized clip is skipped with its error recorded; the batch
         # continues.
-        prepared: list = []
-        failures: dict[int, Exception] = {}
-        for i, v in enumerate(videos):
-            try:
-                if isinstance(v, str):
-                    frames, _ = video_io.load_video(v)
-                else:
-                    frames = np.asarray(v)
-                b = None if boxes is None else boxes[i]
-                prepared.append(self._prepare(frames, b))
-            except Exception as e:  # noqa: BLE001 — quarantine any decode error
-                failures[i] = e
-                prepared.append(None)
-
-        # Group clip indices by bucket length.
-        groups: dict[int, list[int]] = {}
-        for i, p in enumerate(prepared):
-            if p is not None:
-                groups.setdefault(p[0].shape[0], []).append(i)
+        def _decode(i):
+            t0 = _time.perf_counter()
+            v = videos[i]
+            if isinstance(v, str):
+                frames, _ = video_io.load_video(v)
+            else:
+                frames = np.asarray(v)
+            b = None if boxes is None else boxes[i]
+            p = self._prepare(frames, b)
+            decode_s[i] = _time.perf_counter() - t0
+            return p
 
         # Fixed clip-chunk size: every distinct batch shape is a separate
         # jit compile (minutes over the tunnel), so groups run in chunks of
@@ -580,52 +609,91 @@ class Pipeline:
         cb = max(self.cfg.clip_batch, dp)
         cb += (-cb) % dp
         outs: dict[int, dict] = {}
-        for tb, idxs in groups.items():
-            for c0 in range(0, len(idxs), cb):
-                chunk = idxs[c0:c0 + cb]
-                pad = cb - len(chunk)
-                if self.mesh is None:
-                    # One H2D transfer per real clip; the chunk-pad slots are
-                    # device-side copies of the last clip, so padding never
-                    # crosses the host->device link.  (Host-side np.repeat
-                    # re-sent the last clip `pad` times: with clip_batch=8 a
-                    # 2-clip call moved 4x the necessary bytes — minutes on a
-                    # tunneled/remote device, and wasted PCIe on any host.)
-                    fr = assemble_clip_batch(
-                        [prepared[i][0] for i in chunk], cb)
-                    bx = assemble_clip_batch(
-                        [prepared[i][1] for i in chunk], cb)
-                    vd_np = [prepared[i][2] for i in chunk]
-                    vd = np.stack(vd_np + [vd_np[-1]] * pad)
-                else:
-                    # Mesh path: keep one host array so pjit can scatter the
-                    # clip axis straight to its device shards.
-                    fr = np.stack([prepared[i][0] for i in chunk])
-                    bx = np.stack([prepared[i][1] for i in chunk])
-                    vd = np.stack([prepared[i][2] for i in chunk])
-                    if pad:
-                        fr = np.concatenate([fr, np.repeat(fr[-1:], pad, 0)])
-                        bx = np.concatenate([bx, np.repeat(bx[-1:], pad, 0)])
-                        vd = np.concatenate([vd, np.repeat(vd[-1:], pad, 0)])
-                    fr, bx = jnp.asarray(fr), jnp.asarray(bx)
-                out = self._core_batch(
-                    self.params, fr, bx, jnp.asarray(vd)
+        inflight: list = []          # completion fences of dispatched chunks
+
+        def _dispatch(chunk):
+            if first_dispatch_t[0] is None:
+                first_dispatch_t[0] = _time.perf_counter() - t_start
+            # Two chunks in flight max: chunk k+2's 1080p batch must not be
+            # allocated until chunk k's program has released its input.
+            while len(inflight) >= 2:
+                jax.block_until_ready(inflight.pop(0))
+            pad = cb - len(chunk)
+            if self.mesh is None:
+                # One H2D transfer per real clip; the chunk-pad slots are
+                # device-side copies of the last clip, so padding never
+                # crosses the host->device link.  (Host-side np.repeat
+                # re-sent the last clip `pad` times: with clip_batch=8 a
+                # 2-clip call moved 4x the necessary bytes — minutes on a
+                # tunneled/remote device, and wasted PCIe on any host.)
+                fr = assemble_clip_batch(
+                    [prepared[i][0] for i in chunk], cb)
+                bx = assemble_clip_batch(
+                    [prepared[i][1] for i in chunk], cb)
+                vd_np = [prepared[i][2] for i in chunk]
+                vd = np.stack(vd_np + [vd_np[-1]] * pad)
+            else:
+                # Mesh path: keep one host array so pjit can scatter the
+                # clip axis straight to its device shards.
+                fr = np.stack([prepared[i][0] for i in chunk])
+                bx = np.stack([prepared[i][1] for i in chunk])
+                vd = np.stack([prepared[i][2] for i in chunk])
+                if pad:
+                    fr = np.concatenate([fr, np.repeat(fr[-1:], pad, 0)])
+                    bx = np.concatenate([bx, np.repeat(bx[-1:], pad, 0)])
+                    vd = np.concatenate([vd, np.repeat(vd[-1:], pad, 0)])
+                fr, bx = jnp.asarray(fr), jnp.asarray(bx)
+            out = self._core_batch(self.params, fr, bx, jnp.asarray(vd))
+            # Drop the frame batch as soon as the program owns it: the
+            # next chunk's (possibly larger-bucket) batch must not
+            # coexist with this one on a 16 GB chip.
+            del fr, bx
+            # Release decoded host frames: on long batches the decode pool
+            # would otherwise accumulate every clip's 1080p array in RAM.
+            for i in chunk:
+                prepared[i] = (None, None, prepared[i][2])
+            if reference is not None:
+                a = self._align_batch(
+                    self.params, out["keypoints"], jnp.asarray(vd),
+                    jnp.asarray(reference.keypoints),
+                    jnp.asarray(reference.valid),
+                    out["phase_logits"], out.get("kpt_spread"),
                 )
-                # Drop the frame batch as soon as the program owns it: the
-                # next chunk's (possibly larger-bucket) batch must not
-                # coexist with this one on a 16 GB chip.
-                del fr, bx
-                if reference is not None:
-                    a = self._align_batch(
-                        self.params, out["keypoints"], jnp.asarray(vd),
-                        jnp.asarray(reference.keypoints),
-                        jnp.asarray(reference.valid),
-                        out["phase_logits"], out.get("kpt_spread"),
-                    )
-                    out["alignment"] = a
-                    out["error_logits"] = a["error_logits"]
-                for n, i in enumerate(chunk):
-                    outs[i] = jax.tree.map(lambda x: x[n], out)
+                out["alignment"] = a
+                out["error_logits"] = a["error_logits"]
+            inflight.append(out["keypoints"])
+            for n, i in enumerate(chunk):
+                outs[i] = jax.tree.map(lambda x: x[n], out)
+
+        pending: dict[int, list[int]] = {}   # bucket length -> ready clips
+        workers = decode_workers or min(4, os.cpu_count() or 1, n_vids or 1)
+        with _cf.ThreadPoolExecutor(max_workers=workers) as ex:
+            futs = {ex.submit(_decode, i): i for i in range(n_vids)}
+            for fut in _cf.as_completed(futs):
+                i = futs[fut]
+                try:
+                    prepared[i] = fut.result()
+                except Exception as e:  # noqa: BLE001 — quarantine decode errors
+                    failures[i] = e
+                    continue
+                tb = prepared[i][0].shape[0]
+                pending.setdefault(tb, []).append(i)
+                if len(pending[tb]) == cb:
+                    _dispatch(pending.pop(tb))
+        for tb in sorted(pending):
+            idxs = pending[tb]
+            for c0 in range(0, len(idxs), cb):
+                _dispatch(idxs[c0:c0 + cb])
+
+        wall_s = _time.perf_counter() - t_start
+        self.last_batch_stats = {
+            "wall_s": wall_s,
+            "decode_s_total": sum(decode_s),
+            "decode_workers": workers,
+            "first_dispatch_s": first_dispatch_t[0],
+            "clips": n_vids,
+            "failures": len(failures),
+        }
 
         results: list = []
         for i, p in enumerate(prepared):

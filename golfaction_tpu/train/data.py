@@ -870,13 +870,18 @@ def load_spread_profile(path: str) -> Optional[np.ndarray]:
 def conditioned_beta(
     beta_tab: Optional[np.ndarray],
     error_flags: np.ndarray,
-    default: float = 1.0,
+    default: float = 0.0,
 ) -> np.ndarray:
     """Per-joint spread-transfer beta [17] for one simulated cascade clip.
 
     For each joint, the MAX measured beta across the clip's active faults
     (a joint deflected by two faults shows the stronger spread signature);
-    `default` where nothing is measured.  Unlike conditioned_gain this is
+    `default` where nothing is measured.  The default is CONSERVATIVE
+    (0.0: no synthetic spread): measured betas top out at 0.52, and
+    defaulting unmeasured pairs to the full mixture-model excess (1.0) is
+    exactly the over-trusted synthetic signal that collapsed the round-3
+    spread-cascade calibration (ADVICE r3; docs/STATUS.md).  Unlike
+    conditioned_gain this is
     deterministic — beta scales a term that already carries lognormal
     jitter in synth_spread.
     """

@@ -24,7 +24,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--artifacts", default="artifacts")
-    ap.add_argument("--per-fault", type=int, default=4)
+    ap.add_argument("--per-fault", type=int, default=10,
+                    help="positive clips per fault; thresholds fitted on "
+                         "n=4 flipped with single clips (VERDICT r3 #4)")
     ap.add_argument("--frames", type=int, default=48)
     ap.add_argument("--hw", type=int, nargs=2, default=(540, 960))
     ap.add_argument("--cpu", action="store_true")

@@ -75,10 +75,12 @@ def main():
         jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
+    import _probe_common
+
     from golfaction_tpu import config as cfg_mod
-    from golfaction_tpu.ops import affine, heatmap, preprocess
+    from golfaction_tpu.ops import heatmap
     from golfaction_tpu.pipeline import orchestrator
-    from golfaction_tpu.train import checkpoint, data
+    from golfaction_tpu.train import checkpoint
 
     def log(m):
         print(m, file=sys.stderr, flush=True)
@@ -86,66 +88,24 @@ def main():
     hw = tuple(args.hw)
     cfg = cfg_mod.get_config("full_pipeline", video_hw=hw,
                              length_buckets=(args.frames,))
-    nf = checkpoint.detect_pose_in_frames(args.artifacts)
-    if nf != 1:
-        cfg = cfg_mod.apply_overrides(cfg, [f"pose.in_frames={nf}"])
+    # Full checkpoint self-configuration (in_frames + refine + error spread
+    # dims), not just in_frames: load_pipeline_params(like=...) needs the
+    # init tree to match a spread-widened error checkpoint too (ADVICE r3).
+    cfg = checkpoint.config_for_artifacts(cfg, args.artifacts)
     pipe = orchestrator.Pipeline(cfg, seed=0)
     pipe.params = checkpoint.load_pipeline_params(args.artifacts,
                                                   like=pipe.params)
     c = pipe.cfg
 
-    def pose_heatmaps(params, frames, boxes):
-        """Replicates Pipeline._pose_fn (incl. optional box refinement),
-        returns heatmaps + the center-scale boxes so GT can be mapped
-        into heatmap space."""
-        T, H, W = frames.shape[0], frames.shape[1], frames.shape[2]
-        s = c.box_refine_stride
-        if s > 0 and T > s:
-            full = jnp.broadcast_to(
-                jnp.asarray([W / 2.0, H / 2.0, float(W), float(H)],
-                            jnp.float32),
-                (frames[::s].shape[0], 4))
-            coarse = pipe._pose_pass(params, frames[::s], full)
-            rb = affine.boxes_from_keypoints(coarse, (H, W), min_size=0.1 * H)
-            rb = affine.interp_boxes(rb, s, T)
-            boxes = affine.smooth_boxes(rb, window=9)
-        boxes = affine.box_to_center_scale(
-            boxes, aspect_ratio=c.pose.input_hw[1] / c.pose.input_hw[0])
-        half = c.pose.in_frames // 2
-        idx = jnp.arange(T, dtype=jnp.int32)
-        if half == 0:
-            crops = preprocess.crop_resize_normalize(frames, boxes,
-                                                     c.pose.input_hw)
-        else:
-            crops = jnp.concatenate([
-                preprocess.crop_resize_normalize(
-                    jnp.take(frames, jnp.clip(idx + off, 0, T - 1), axis=0),
-                    boxes, c.pose.input_hw)
-                for off in range(-half, half + 1)
-            ], axis=-1)
-        hm = pipe.pose_model.apply(params["pose"], crops)
-        return hm, boxes
-
-    fn = jax.jit(pose_heatmaps)
+    fn = _probe_common.make_pose_heatmaps_fn(pipe)
 
     joints = FAULT_JOINTS[args.fault]
     per_frame = []
     for p in range(args.pairs):
         seed = args.seed + 977 * (p + 1) + 13 * cfg_mod.SWING_ERRORS.index(args.fault)
-        clips = {}
-        for key, faults in (("fault", {args.fault: args.severity}),
-                            ("clean", {})):
-            s = data.swing_keypoints(
-                args.frames, np.random.default_rng(seed),
-                tempo_warp=float(np.random.default_rng(seed + 1).uniform(-0.8, 0.8)),
-                faults=faults)
-            s = data.place_in_image(s, hw, person_height_px=0.65 * hw[0],
-                                    rng=np.random.default_rng(seed + 2))
-            fam_rng = np.random.default_rng(seed + 4)
-            s = data.render_frames_photo(
-                s, hw, rng=np.random.default_rng(seed + 3),
-                scene_family=int(fam_rng.choice(data.TRAIN_SCENE_FAMILIES)))
-            clips[key] = s
+        faulty, clean = _probe_common.render_pair(
+            args.fault, args.severity, seed, args.frames, hw)
+        clips = {"fault": faulty, "clean": clean}
         frames_p, boxes_p, _valid = pipe._prepare(clips["fault"].frames, None)
         hm, boxes = fn(pipe.params, jnp.asarray(frames_p),
                        jnp.asarray(boxes_p))

@@ -58,6 +58,13 @@ def main():
     ap.add_argument("--fault-joint-boost", type=float, default=2.0,
                     help="heatmap-loss upweight for exactly the joints a "
                          "fault displaced, scaled by deflection")
+    ap.add_argument("--pose-sigma", type=float, default=2.0,
+                    help="training-target heatmap gaussian sigma.  2.0 is "
+                         "the classic SimpleBaseline target; 1.25 makes "
+                         "canonical-vs-true modes ~2.6 hm px apart "
+                         "SEPARABLE local maxima (bimodality needs sep > "
+                         "2*sigma) so tracked decode can recover fault "
+                         "deflections (BASELINE.md r3 root cause)")
     ap.add_argument("--arm-wander", type=float, default=0.0,
                     help="smooth random elbow/wrist wander amplitude (body "
                          "units, ~0.1) in the pose render pool — kills the "
@@ -202,7 +209,8 @@ def main():
 
     # ---------------- Pose ----------------
     if "pose" not in args.skip:
-        pose_cfg = cfg_mod.PoseConfig(in_frames=args.pose_in_frames)
+        pose_cfg = cfg_mod.PoseConfig(in_frames=args.pose_in_frames,
+                                      sigma=args.pose_sigma)
         if args.eval_only:
             ck = checkpoint.latest_step_dir(f"{args.out}/params/pose")
             state = loops.TrainState(checkpoint.restore_params(ck), None)

@@ -261,7 +261,10 @@ def test_load_spread_profile_and_conditioned_beta(tmp_path):
 
     flags = np.zeros(len(cfg_mod.SWING_ERRORS)); flags[cw] = 1
     b = data.conditioned_beta(tab, flags)
-    assert b[7] == np.float32(0.4) and b[0] == 1.0  # unmeasured -> default
+    # Unmeasured pairs default CONSERVATIVELY to 0 (no synthetic spread):
+    # betas real heatmaps never delivered must not train the head (ADVICE
+    # r3 / round-3 spread-cascade collapse).
+    assert b[7] == np.float32(0.4) and b[0] == 0.0
     flags[ca] = 1
     b2 = data.conditioned_beta(tab, flags)
     assert b2[9] == 0.0 and b2[7] == np.float32(0.4)

@@ -277,6 +277,7 @@ def train_pose(
     fault_frame_boost: float = 0.0,
     fault_joint_boost: float = 0.0,
     arm_wander: float = 0.0,
+    init_from: str | None = None,
 ):
     """Pose training.  pool_clips > 0 pre-renders that many clips ONCE and
     samples batches from the pool each step — rendering (host NumPy) is ~100x
@@ -320,6 +321,19 @@ def train_pose(
         jax.random.key(train_cfg.seed),
         jnp.zeros((1, *pose_cfg.input_hw, 3 * pose_cfg.in_frames))
     )
+    if init_from:
+        # Params-only warm start (fresh optimizer, step 0): finetune an
+        # existing pose checkpoint under a CHANGED training target —
+        # e.g. poseG = poseF warm-started at sigma 1.25, where from-scratch
+        # training under the narrow target stalls (eval PCK 0.69 vs 1.0;
+        # BASELINE.md round 4).  Unlike resume_from, no opt_state/step is
+        # expected, so a compact .npz or a params Orbax dir both work.
+        from golfaction_tpu.train import checkpoint as ckpt_mod
+
+        if init_from.endswith(".npz"):
+            params = ckpt_mod.restore_params_npz(init_from)
+        else:
+            params = ckpt_mod.restore_params(init_from, like=params)
     opt_state = tx.init(params)
 
     if pool_clips > 0:

@@ -58,6 +58,15 @@ def main():
     ap.add_argument("--fault-joint-boost", type=float, default=2.0,
                     help="heatmap-loss upweight for exactly the joints a "
                          "fault displaced, scaled by deflection")
+    ap.add_argument("--pose-init-from", default=None,
+                    help="params checkpoint (.npz or Orbax step dir) to "
+                         "warm-start pose training from (fresh optimizer) "
+                         "— the sigma-finetune path: from-scratch training "
+                         "at sigma 1.25 stalls (PCK 0.69), warm-started "
+                         "from the sigma-2 poseF it only has to sharpen "
+                         "its output Gaussians")
+    ap.add_argument("--pose-lr", type=float, default=1e-3,
+                    help="pose learning rate (finetunes want ~3e-4)")
     ap.add_argument("--pose-sigma", type=float, default=2.0,
                     help="training-target heatmap gaussian sigma.  2.0 is "
                          "the classic SimpleBaseline target; 1.25 makes "
@@ -219,7 +228,7 @@ def main():
             pose_steps = args.pose_steps or max(args.steps // 2, 1)
             log(f"[pose] training {pose_steps} steps ...")
             pose_tc = dataclasses.replace(tc, total_steps=pose_steps,
-                                          learning_rate=1e-3)
+                                          learning_rate=args.pose_lr)
             state, hist = loops.train_pose(
                 pose_cfg, pose_tc, image_hw=(540, 960), clips_per_epoch=8,
                 frames_per_clip=8, log_every=max(pose_steps // 10, 1),
@@ -228,7 +237,8 @@ def main():
                 pool_fault_prob=args.pool_fault_prob,
                 fault_frame_boost=args.fault_frame_boost,
                 fault_joint_boost=args.fault_joint_boost,
-                arm_wander=args.arm_wander)
+                arm_wander=args.arm_wander,
+                init_from=args.pose_init_from)
             ck = checkpoint.save_params(f"{args.out}/params/pose", state.params,
                                         step=state.step)
         # Eval PCK@0.05 through the full preprocess->pose->decode path.

@@ -202,13 +202,63 @@ def detect_error_spread(root: str) -> Optional[bool]:
     return None
 
 
+#: pose_meta.json keys -> PipelineConfig override paths.  These are pose
+#: properties NOT inferable from checkpoint array shapes (sigma-1.25 and
+#: sigma-2 nets are shape-identical) but required for correct decode: a
+#: narrow-sigma candidate only beats the canonical-ghost prior with
+#: tracked decode at a sub-separation NMS radius (BASELINE.md round 4).
+POSE_META_KEYS = {
+    "sigma": "pose.sigma",
+    "decode_tracking": "pose.decode_tracking",
+    "track_lambda": "pose.track_lambda",
+    "track_suppress_radius": "pose.track_suppress_radius",
+}
+
+
+def save_pose_meta(root: str, **meta) -> str:
+    """Write `<root>/pose_meta.json` recording the promoted pose
+    checkpoint's decode configuration (POSE_META_KEYS).  Written at
+    promotion time next to `params/`; read back by config_for_artifacts."""
+    import json
+
+    unknown = set(meta) - set(POSE_META_KEYS)
+    if unknown:
+        raise ValueError(f"unknown pose_meta keys: {sorted(unknown)}")
+    path = os.path.join(os.path.abspath(root), "pose_meta.json")
+    with open(path, "w") as f:
+        json.dump(meta, f, indent=2)
+    return path
+
+
+def load_pose_meta(root: str) -> dict:
+    import json
+
+    path = os.path.join(os.path.abspath(root), "pose_meta.json")
+    if not os.path.exists(path):
+        return {}
+    with open(path) as f:
+        return {k: v for k, v in json.load(f).items() if k in POSE_META_KEYS}
+
+
 def config_for_artifacts(cfg, root: str):
     """Adapt a PipelineConfig to an artifacts tree: set pose.in_frames to
     the width the saved pose checkpoint was trained with (see
     detect_pose_in_frames), enable the keypoint refiner when the tree
-    carries a trained `refine` checkpoint, and match error.spread_features
-    to the saved error head's feature dim.  No-op when they agree."""
+    carries a trained `refine` checkpoint, match error.spread_features
+    to the saved error head's feature dim, and apply the checkpoint's own
+    decode configuration from `pose_meta.json` (sigma / tracked-decode
+    knobs that array shapes cannot reveal).  No-op when they agree."""
     overrides = []
+    meta = load_pose_meta(root)
+    for key, path in POSE_META_KEYS.items():
+        val = meta.get(key)
+        if val is None:
+            continue
+        obj = cfg
+        for part in path.split(".")[:-1]:
+            obj = getattr(obj, part)
+        if val != getattr(obj, path.split(".")[-1]):
+            overrides.append(f"{path}={val}")
     nf = detect_pose_in_frames(root)
     if nf != cfg.pose.in_frames:
         overrides.append(f"pose.in_frames={nf}")

@@ -114,14 +114,22 @@ def main():
     def fence(o):
         return float(jnp.sum(o))
 
-    def t(f, n=20):
-        fence(f())
-        t0 = time.perf_counter()
-        o = None
-        for _ in range(n):
-            o = f()
-        fence(o)
-        return (time.perf_counter() - t0) / n * 1e3
+    def t(f, n1=20, n2=80):
+        # Two-point slope fit (bench.py _time_fn_repeats): the tunnel
+        # charges a FIXED 29-330 ms per timing window (fence round trip),
+        # which at single-window sizes biases float-vs-int8 RATIOS toward
+        # 1 — the subtraction removes it exactly (BASELINE.md round 4).
+        def run(n):
+            fence(f())
+            t0 = time.perf_counter()
+            o = None
+            for _ in range(n):
+                o = f()
+            fence(o)
+            return time.perf_counter() - t0
+
+        run(5)  # warm
+        return (run(n2) - run(n1)) / (n2 - n1) * 1e3
 
     ms_f = t(lambda: f_float(params, eval_crops))
     ms_q = t(lambda: f_int8(params, eval_crops))

@@ -217,3 +217,26 @@ def test_detect_pose_in_frames(tmp_path):
     assert cfg2.pose.in_frames == 3
     # missing checkpoint -> conservative single-frame
     assert checkpoint.detect_pose_in_frames(str(tmp_path / "nope")) == 1
+
+
+def test_pose_meta_roundtrip(tmp_path):
+    """pose_meta.json carries decode configuration that checkpoint array
+    shapes cannot reveal (sigma-1.25 vs sigma-2 nets are shape-identical);
+    config_for_artifacts applies it as overrides."""
+    import pytest
+
+    from golfaction_tpu import config as cfg_mod
+    from golfaction_tpu.train import checkpoint
+
+    checkpoint.save_pose_meta(str(tmp_path), sigma=1.25, decode_tracking=4,
+                              track_suppress_radius=2.0)
+    cfg = cfg_mod.get_config("full_pipeline")
+    cfg2 = checkpoint.config_for_artifacts(cfg, str(tmp_path))
+    assert cfg2.pose.sigma == 1.25
+    assert cfg2.pose.decode_tracking == 4
+    assert cfg2.pose.track_suppress_radius == 2.0
+    assert cfg2.pose.track_lambda == cfg.pose.track_lambda  # untouched
+    # no sidecar -> untouched config; unknown keys rejected at save time
+    assert checkpoint.load_pose_meta(str(tmp_path / "nope")) == {}
+    with pytest.raises(ValueError):
+        checkpoint.save_pose_meta(str(tmp_path), bogus=1)

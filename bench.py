@@ -55,6 +55,100 @@ def _emit(payload):
     print(json.dumps(payload), flush=True)
 
 
+# ---- pre-headline stall instrumentation (round 5) -------------------------
+# Round 4's driver record is empty because the worker logged the device line
+# and then NOTHING for 510 s (BENCH_r04.json: rc=247, parsed=null) — the
+# whole restore/device_put/render/H2D/warmup path between device detection
+# and the first _emit was a blind region with no heartbeat, no per-step
+# logs, and no watchdog.  Three mechanisms close it (VERDICT r4 task 1):
+#   * `_status_init` emits a minimal status JSON the moment the device is
+#     known, so the supervisor's last-JSON net always has SOMETHING parsed.
+#   * `_progress(step)` timestamps every pre-headline step to stderr and
+#     refreshes the status JSON, so a hang is localizable from the tail.
+#   * `_Watchdog` watches the time since the last progress mark; on expiry
+#     it emits {"status": "tpu-tunnel-stalled", "stalled_step": ...} and
+#     exits nonzero — symmetric with the supervisor's existing
+#     `tpu-tunnel-unreachable` path (which only covers refused connections,
+#     not hangs).
+_PROG_LOCK = threading.Lock()
+_PROG = {"step": "init", "t": _START}
+_STATUS = None  # the running (possibly headline-less) JSON payload
+
+
+def _status_init(device_kind):
+    global _STATUS
+    _STATUS = {
+        "metric": "end_to_end_fps_1080p",
+        "value": None,
+        "unit": "frames/sec/chip",
+        "vs_baseline": None,
+        "status": "starting",
+        "device": device_kind,
+    }
+    _emit(_STATUS)
+
+
+def _progress(step, emit_status=True):
+    """Mark a pre-headline step: stderr timestamp + status-JSON refresh."""
+    with _PROG_LOCK:
+        _PROG["step"] = step
+        _PROG["t"] = time.time()
+    _log(f"[+{time.time() - _START:.1f}s] {step}")
+    if emit_status and _STATUS is not None and _STATUS.get("value") is None:
+        _STATUS["status"] = step
+        _STATUS["elapsed_s"] = round(time.time() - _START, 1)
+        _emit(_STATUS)
+
+
+class _Watchdog(threading.Thread):
+    """Emit a diagnostic JSON and exit if no progress mark lands for
+    `timeout` seconds (a hung tunnel call can stall forever inside jax)."""
+
+    def __init__(self, timeout):
+        super().__init__(daemon=True)
+        self.timeout = timeout
+
+    def run(self):
+        while True:
+            time.sleep(5.0)
+            with _PROG_LOCK:
+                step, t = _PROG["step"], _PROG["t"]
+            stalled = time.time() - t
+            if stalled > self.timeout:
+                payload = dict(_STATUS or {
+                    "metric": "end_to_end_fps_1080p", "value": None,
+                    "unit": "frames/sec/chip", "vs_baseline": None,
+                })
+                payload.update({
+                    "status": "tpu-tunnel-stalled",
+                    "stalled_step": step,
+                    "stalled_after_s": round(stalled, 1),
+                    "elapsed_s": round(time.time() - _START, 1),
+                })
+                _emit(payload)
+                _log(f"[watchdog] no progress for {stalled:.0f}s inside "
+                     f"step '{step}' — aborting worker")
+                os._exit(3)
+
+
+def sol_check(n=4096, dtype="bfloat16"):
+    """Speed-of-light probe: slope-timed bf16 n^3 matmul.
+
+    Separates "the chip is slow" from "the program/tunnel is slow" — on
+    2026-08-19 this probe clocked 160 TF/s (81% of v5e peak) in the same
+    hour a fixed-cost-polluted window timing deflated the pipeline 1.47x
+    (BASELINE.md round-4 decomposition; previously /tmp/sol_check.py,
+    committed per VERDICT r4 task 7).  Returns effective TFLOP/s.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    x = jnp.ones((n, n), dtype=dtype)
+    f = jax.jit(lambda a: a @ a)
+    dt = _time_fn(f, x, warmup=2, iters=3, min_time=0.5)
+    return 2.0 * n**3 / dt / 1e12
+
+
 def _fence(out):
     """Force device completion by fetching a value.
 
@@ -69,7 +163,8 @@ def _fence(out):
     return float(jnp.sum(leaf.astype(jnp.float32)))
 
 
-def _time_fn_repeats(fn, *args, warmup=2, iters=5, min_time=1.0, repeats=3):
+def _time_fn_repeats(fn, *args, warmup=2, iters=5, min_time=1.0, repeats=3,
+                     name=None):
     """List of `repeats` independent steady-state per-call times, each a
     TWO-POINT SLOPE fit: slope = (T(n2) - T(n1)) / (n2 - n1) where T(n) is
     the wall time of n back-to-back calls closed by a completion-forcing
@@ -84,7 +179,9 @@ def _time_fn_repeats(fn, *args, warmup=2, iters=5, min_time=1.0, repeats=3):
     #1).  The measured fixed cost is kept in `_time_fn_repeats.last_fixed_s`
     for reporting.
     """
-    for _ in range(warmup):
+    for i in range(warmup):
+        if name:
+            _progress(f"{name}: warmup {i + 1}/{warmup} (compile+fence)")
         _fence(fn(*args))
 
     def run(n):
@@ -95,12 +192,17 @@ def _time_fn_repeats(fn, *args, warmup=2, iters=5, min_time=1.0, repeats=3):
         _fence(out)
         return time.perf_counter() - t0
 
+    if name:
+        _progress(f"{name}: sizing window")
     dt = run(iters) / iters
     # Size the windows: n1 ~ min_time/4 of calls, n2 = 5*n1 (capped).
     n1 = max(iters, min(int(min_time / 4.0 / max(dt, 1e-7)) + 1, 400))
     n2 = min(5 * n1, 2000)
     slopes, fixed = [], []
-    for _ in range(repeats):
+    for r in range(repeats):
+        if name:
+            _progress(f"{name}: slope window {r + 1}/{repeats} "
+                      f"(n1={n1}, n2={n2})", emit_status=False)
         t1, t2 = run(n1), run(n2)
         s = max((t2 - t1) / (n2 - n1), 1e-9)
         slopes.append(s)
@@ -190,6 +292,7 @@ def _make_pipeline(orchestrator, cfg, dev, seed=0):
     import jax
 
     art = os.path.join(os.path.dirname(os.path.abspath(__file__)), "artifacts")
+    _progress("pipeline: config_for_artifacts")
     try:
         from golfaction_tpu.train import checkpoint as _ck
 
@@ -211,6 +314,8 @@ def _make_pipeline(orchestrator, cfg, dev, seed=0):
             cpu0 = None
         params = {}
         for name in ("pose", "gcn", "align", "error", "refine"):
+            _progress(f"pipeline: restore {name} checkpoint (host)",
+                      emit_status=False)
             step_dir = ckpt_mod.latest_step_dir(
                 os.path.join(art, "params", name))
             npz = os.path.join(art, "params", f"{name}.npz")
@@ -222,8 +327,10 @@ def _make_pipeline(orchestrator, cfg, dev, seed=0):
                 continue                # models/refine.py
             else:
                 raise FileNotFoundError(f"no checkpoint for {name}")
+        _progress("pipeline: device_put params (tunnel H2D)")
         params = jax.device_put(params, dev)
         _fence(params["pose"])
+        _progress("pipeline: params fenced on device")
         _log(f"trained params restored + transferred: {time.time() - t0:.1f}s")
         _PARAMS_CACHE[dev] = params
         return orchestrator.Pipeline(cfg, params=params)
@@ -247,6 +354,7 @@ def _make_pipeline(orchestrator, cfg, dev, seed=0):
 
 
 def worker_main(args):
+    global _STATUS
     import jax
 
     # Persistent compile cache: the bench compiles ~8 programs; over the
@@ -264,9 +372,29 @@ def worker_main(args):
 
     budget = args.budget_seconds
 
+    _progress("jax.devices() (tunnel init)", emit_status=False)
     dev = jax.devices()[0]
     kind = getattr(dev, "device_kind", "?")
     _log(f"device: {dev.platform} {kind}  (budget {budget:.0f}s)")
+    # Heartbeat JSON the moment the device is known: the supervisor's
+    # last-JSON net must never again be empty (BENCH_r04.json lesson).
+    _status_init(f"{dev.platform} {kind}")
+    wd = _Watchdog(args.stall_timeout if not args.cpu
+                   else max(args.stall_timeout, 600))
+    wd.start()
+
+    sol_n = 1024 if args.cpu else 4096
+    if args.sol_only:
+        _progress("sol-check (bf16 matmul probe)")
+        tf = sol_check(sol_n)
+        _STATUS.update({"status": "sol-check-done", "sol_tflops": round(tf, 1)})
+        peak = _PEAK_TFLOPS.get(kind)
+        if peak:
+            _STATUS["sol_vs_peak"] = round(tf / peak, 3)
+        _log(f"[sol-check] bf16 {sol_n}^3 matmul: {tf:.1f} TF/s"
+             + (f" = {tf / peak:.1%} of {kind} peak" if peak else ""))
+        _emit(_STATUS)
+        return
 
     T = args.clip_frames
     hw = (args.height, args.width)
@@ -283,10 +411,12 @@ def worker_main(args):
     nsrc = min(nsrc, T)
     cache = f"/tmp/golfaction_bench_src_{nsrc}x{T}_{hw[0]}x{hw[1]}.npz"
     if os.path.exists(cache):
+        _progress("source frames: cache load")
         _log(f"loading cached source frames from {cache}")
         z = np.load(cache)
         src_frames, src_boxes = z["frames"], z["boxes"]
     else:
+        _progress("source frames: render")
         # Reuse the round-1/2 full-clip cache when present to skip rendering.
         old = f"/tmp/golfaction_bench_clips_2x64_{hw[0]}x{hw[1]}.npz"
         if os.path.exists(old) and T == 64:
@@ -306,6 +436,7 @@ def worker_main(args):
         except OSError:
             pass
 
+    _progress("H2D: source frames (tunnel)")
     t0 = time.time()
     src_dev = jax.device_put(jnp.asarray(src_frames))
     _fence(src_dev[0, 0, :2].astype(jnp.float32))
@@ -331,7 +462,8 @@ def worker_main(args):
     def run_all():
         return pipe._core_batch(pipe.params, frames_dev, boxes_dev, valid_b)
 
-    dts = _time_fn_repeats(run_all, warmup=2, iters=args.iters, repeats=4)
+    dts = _time_fn_repeats(run_all, warmup=2, iters=args.iters, repeats=4,
+                           name="config 5 headline")
     dt = sorted(dts)[len(dts) // 2]          # median for the headline
     total_frames = args.clips * T
     fps = total_frames / dt
@@ -360,6 +492,7 @@ def worker_main(args):
         "e2e_fps": None,
         "e2e_vs_baseline": None,
     }
+    _STATUS = result  # watchdog diagnostics now carry the headline too
     _emit(result)  # the driver gets the headline NOW, whatever happens later
 
     # --- MFU (VERDICT r2 item 7): FLOPs of the compiled headline program ---
@@ -443,6 +576,8 @@ def worker_main(args):
             cb = e2e_cfg.clip_batch
 
             def _warm_bucket(tb):
+                _progress(f"e2e: warm bucket {tb} (compile)",
+                          emit_status=False)
                 fz = jnp.zeros((tb, hw[0], hw[1], 3), jnp.uint8)
                 bz = jnp.broadcast_to(
                     jnp.asarray(
@@ -467,6 +602,11 @@ def worker_main(args):
                 _warm_bucket(tb)
 
             if _remaining(budget) > 30.0:
+                # Host decode of all clips on a 1-core box is legitimately
+                # minutes with no tunnel activity; don't brand it a stall.
+                wd.timeout = max(wd.timeout, 600)
+                _progress("e2e: analyze_batch (decode+dispatch+fetch)",
+                          emit_status=False)
                 t0 = time.perf_counter()
                 results = e2e_pipe.analyze_batch(paths)
                 for r in results:
@@ -500,6 +640,7 @@ def worker_main(args):
             _log(f"[config 5, e2e] FAILED (continuing): "
                  f"{type(e).__name__}: {e}")
         finally:
+            wd.timeout = args.stall_timeout
             # Free e2e device buffers on every path, else later stages OOM.
             e2e_pipe = None  # noqa: F841
     else:
@@ -579,6 +720,20 @@ def worker_main(args):
 
     stage("config 1", _cfg1)
 
+    if args.sol_check:
+        def _sol():
+            # Chip-health evidence in every record: a slow headline with a
+            # healthy sol number means tunnel/program, not chip.
+            tf = sol_check(sol_n)
+            result["sol_tflops"] = round(tf, 1)
+            peak = _PEAK_TFLOPS.get(kind)
+            if peak:
+                result["sol_vs_peak"] = round(tf / peak, 3)
+            _log(f"[sol-check] bf16 {sol_n}^3 matmul: {tf:.1f} TF/s"
+                 + (f" = {tf / peak:.1%} of {kind} peak" if peak else ""))
+
+        stage("sol-check", _sol, min_left=40)
+
     if args.impl_compare:
         def _impl():
             from golfaction_tpu.ops import heatmap as hm_mod
@@ -640,6 +795,16 @@ def _add_worker_args(parser):
     parser.add_argument("--cpu", action="store_true", help="force CPU (debug)")
     parser.add_argument("--impl-compare", action="store_true",
                         help="also time XLA vs Pallas for each kernel stage")
+    parser.add_argument("--stall-timeout", type=float, default=240.0,
+                        help="worker watchdog: seconds without a progress "
+                             "mark before emitting a tpu-tunnel-stalled "
+                             "diagnostic JSON and aborting")
+    parser.add_argument("--sol-check", action=argparse.BooleanOptionalAction,
+                        default=True,
+                        help="budget-gated speed-of-light probe (bf16 "
+                             "matmul) recorded as sol_tflops")
+    parser.add_argument("--sol-only", action="store_true",
+                        help="run ONLY the speed-of-light probe and exit")
 
 
 def supervise(args, extra_argv):

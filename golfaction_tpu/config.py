@@ -149,6 +149,16 @@ class ErrorConfig:
     # blobs — probe_heatmap_spread.json).  Changes the head's feature dim:
     # checkpoints are not interchangeable across this flag.
     spread_features: bool = False
+    # Secondary-mode features: per-joint offset/relative-mass of the
+    # strongest non-selected heatmap mode (requires pose.decode_tracking
+    # >= 2).  The sigma-1.25 successor to spread_features: at sigma 2 the
+    # canonical+true components MERGE and only a covariance excess
+    # survives (beta 0.0-0.52, probe_heatmap_spread.json); at sigma 1.25
+    # they are SEPARABLE modes (true mode present in 95.9% of faulted
+    # frames, probe_heatmap_modes) and the secondary mode's offset IS the
+    # suppressed deflection.  Mutually exclusive with spread_features;
+    # changes the head's feature dim (+3*V vs +2*V).
+    mode_features: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

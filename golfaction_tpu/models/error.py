@@ -115,10 +115,13 @@ class ErrorClassifier(nn.Module):
 
     @nn.compact
     def __call__(self, skeletons, phase_logits, valid=None, ref_aligned=None,
-                 spread=None):
+                 aux=None):
         from golfaction_tpu.models import gcn as gcn_mod
 
         cfg = self.cfg
+        if cfg.spread_features and cfg.mode_features:
+            raise ValueError("spread_features and mode_features are "
+                             "mutually exclusive aux-channel semantics")
         dt = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
         B, T, V, C = skeletons.shape
 
@@ -159,6 +162,42 @@ class ErrorClassifier(nn.Module):
 
         blocks = [x, vel, ang, angvel, dev, has_ref]
 
+        if cfg.mode_features:
+            # Secondary-mode block: `aux` [B,T,V,4] carries (dx, dy,
+            # rel_mass, sep) of the strongest NON-selected heatmap mode in
+            # IMAGE px (orchestrator._pose_pass, pose.decode_tracking).
+            # On faulted frames this is the suppressed bimodal component —
+            # at training sigma 1.25 the true deflected joint stays a
+            # separable local max (probe_heatmap_modes: present in 95.9%
+            # of faulted frames), so its offset IS the deflection the
+            # single-point decode attenuated.  Three per-joint features:
+            #   * exp_hidden: mass-weighted separation w·sep, the expected
+            #     hidden deflection magnitude (w = rel/(1+rel), the
+            #     secondary mode's mass fraction);
+            #   * rel: the raw mass ratio (bimodality evidence);
+            #   * proj: signed projection of the offset onto the
+            #     reference-deviation direction (0 without a reference) —
+            #     "the hidden mode sits toward where this clip already
+            #     deviates" is direct fault evidence.
+            if aux is None:
+                blocks.append(jnp.zeros((B, T, 3 * V), jnp.float32))
+            else:
+                m = _smooth_time(aux.astype(jnp.float32), valid)
+                scale = jnp.maximum(clip_scale, 1e-3)[:, None, None]
+                off = m[..., :2] / scale[..., None]
+                rel = jnp.clip(m[..., 2], 0.0, 4.0)
+                sep = m[..., 3] / scale
+                w = rel / (1.0 + rel)
+                exp_hidden = w * sep
+                if diff is None:
+                    proj = jnp.zeros((B, T, V), jnp.float32)
+                else:
+                    u = diff / jnp.maximum(
+                        jnp.linalg.norm(diff, axis=-1, keepdims=True), 1e-6)
+                    proj = (u * off).sum(-1) * w
+                blocks.append(
+                    jnp.concatenate([exp_hidden, rel, proj], axis=-1))
+
         if cfg.spread_features:
             # Heatmap-spread block: the pose front's merged bimodal blobs
             # attenuate fault deflections at DECODE time (measured 0.34
@@ -169,10 +208,10 @@ class ErrorClassifier(nn.Module):
             # (cov_xx, cov_xy, cov_yy, floor) in IMAGE px², floor being
             # the training-target spread (sigma·box_scale)²; everything is
             # normalized by the SAME clip scale as the coordinates.
-            if spread is None:
+            if aux is None:
                 blocks.append(jnp.zeros((B, T, 2 * V), jnp.float32))
             else:
-                sp = _smooth_time(spread.astype(jnp.float32), valid)
+                sp = _smooth_time(aux.astype(jnp.float32), valid)
                 sp = sp / jnp.maximum(clip_scale, 1e-3)[
                     :, None, None, None] ** 2
                 cxx, cxy = sp[..., 0], sp[..., 1]

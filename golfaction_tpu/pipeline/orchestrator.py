@@ -145,20 +145,22 @@ class Pipeline:
             # in_shardings is positional, so the jitted function must always
             # see all 7 args even when callers rely on the trailing defaults.
             def _align_full(params, kpts, valid, ref_kpts, ref_valid,
-                            phase_logits=None, spread=None):
+                            phase_logits=None, aux=None):
                 return _align_jit(params, kpts, valid, ref_kpts, ref_valid,
-                                  phase_logits, spread)
+                                  phase_logits, aux)
 
             self._align_batch = _align_full
         else:
             self._align_batch = jax.jit(self._align_batch_fn)
         self._align_refine = jax.jit(self._align_refine_fn)
         self._pose_only = jax.jit(self._pose_fn)
-        # (keypoints, heatmap-spread) variant for cascade training, which
-        # must collect the same spread statistics the runtime error head
-        # consumes (scripts/cascade_finetune.py).
-        self._pose_spread = jax.jit(
-            functools.partial(self._pose_fn, want_spread=True))
+        # (keypoints, heatmap-aux) variant for cascade training, which
+        # must collect the same per-joint auxiliary statistics (spread
+        # covariances or secondary-mode features, per config) the runtime
+        # error head consumes (scripts/cascade_finetune.py).
+        self._pose_aux = jax.jit(
+            functools.partial(self._pose_fn, want_aux=True))
+        self._pose_spread = self._pose_aux  # back-compat alias
 
     # ------------------------------------------------------------------
     # Parameter init
@@ -187,14 +189,20 @@ class Pipeline:
     # ------------------------------------------------------------------
     # Jitted device programs
     # ------------------------------------------------------------------
-    def _pose_fn(self, params, frames, boxes, want_spread: bool = False):
+    def _pose_fn(self, params, frames, boxes, want_aux: bool = False):
         """frames [T, H, W, 3] uint8, boxes [T, 4] -> keypoints [T, V, 3].
 
-        With want_spread=True returns (keypoints, spread [T, V, 4]): the
-        per-joint heatmap covariance (cov_xx, cov_xy, cov_yy) plus the
-        training-target floor (sigma * box_scale)^2, all in image px^2 —
-        the error head's readout of decode-attenuated fault deflections
-        (ops/heatmap.moment_stats).
+        With want_aux=True returns (keypoints, aux [T, V, 4]), the
+        per-joint heatmap auxiliary features the error head consumes —
+        semantics selected by config:
+          * error.spread_features: (cov_xx, cov_xy, cov_yy, floor) heatmap
+            covariance in image px^2 (ops/heatmap.moment_stats), floor
+            being the training-target (sigma * box_scale)^2;
+          * error.mode_features: (dx, dy, rel_mass, sep) of the strongest
+            NON-selected heatmap mode relative to the tracked-decode
+            selection, in image px — the suppressed bimodal component a
+            sigma-1.25 checkpoint keeps separable (probe_heatmap_modes:
+            true mode present in 95.9% of faulted frames).
 
         With cfg.box_refine_stride > 0, a coarse pose pass every `stride`
         frames seeds smoothed per-frame boxes from its decoded keypoints
@@ -223,11 +231,16 @@ class Pipeline:
             )
             rb = affine.interp_boxes(rb, s, frames.shape[0])
             boxes = affine.smooth_boxes(rb, window=9)
-        return self._pose_pass(params, frames, boxes,
-                               want_spread=want_spread)
+        return self._pose_pass(params, frames, boxes, want_aux=want_aux)
 
-    def _pose_pass(self, params, frames, boxes, want_spread: bool = False):
+    def _pose_pass(self, params, frames, boxes, want_aux: bool = False):
         c = self.cfg
+        want_modes = want_aux and c.error.mode_features
+        want_spread = want_aux and not c.error.mode_features
+        if want_modes and c.pose.decode_tracking < 2:
+            raise ValueError(
+                "error.mode_features requires pose.decode_tracking >= 2 "
+                "(the secondary mode comes from the tracked-decode NMS)")
         boxes = affine.box_to_center_scale(
             boxes, aspect_ratio=c.pose.input_hw[1] / c.pose.input_hw[0]
         )
@@ -335,10 +348,40 @@ class Pipeline:
             tr = heatmap.viterbi_track(norm, lam=c.pose.track_lambda)
             kpts_img = jnp.concatenate([tr[..., :2] * s, tr[..., 2:]],
                                        axis=-1)
+            if want_modes:
+                # Secondary-mode features [T, V, 4]: offset (image px),
+                # relative mass, and separation of the strongest mode the
+                # Viterbi did NOT select.  On faulted frames this is the
+                # suppressed canonical/true component (the deflection
+                # fingerprint); on clean unimodal frames the runner-up is
+                # a low-mass noise peak.
+                d = img[..., :2] - kpts_img[:, :, None, :2]    # [T,V,K,2]
+                dist = jnp.linalg.norm(d, axis=-1)             # [T,V,K]
+                score = img[..., 2]
+                sel = jnp.argmin(
+                    jnp.where(score > 0, dist, jnp.inf), axis=-1)
+                one = jax.nn.one_hot(sel, track_k, dtype=bool)
+                other = jnp.where(one | (score <= 0), -jnp.inf, score)
+                jbest = jnp.argmax(other, axis=-1)             # [T,V]
+                has = jnp.isfinite(
+                    jnp.take_along_axis(other, jbest[..., None], -1)
+                )[..., 0]
+                dj = jnp.take_along_axis(
+                    d, jbest[..., None, None], axis=2)[:, :, 0]
+                sj = jnp.take_along_axis(
+                    score, jbest[..., None], axis=2)[:, :, 0]
+                rel = jnp.where(
+                    has, sj / jnp.maximum(kpts_img[..., 2], 1e-6), 0.0)
+                sep = jnp.where(has, jnp.linalg.norm(dj, axis=-1), 0.0)
+                off = jnp.where(has[..., None], dj, 0.0)
+                aux = jnp.concatenate(
+                    [off, rel[..., None], sep[..., None]], axis=-1)
         else:
             kpts_img = heatmap.keypoints_to_image(
                 kpts_hm, boxes, c.pose.heatmap_hw, c.pose.input_hw
             )
+        if want_modes:
+            return kpts_img, aux
         if want_spread:
             return kpts_img, spread
         return kpts_img
@@ -346,10 +389,10 @@ class Pipeline:
     def _core_fn(self, params, frames, boxes, valid):
         """Full single-clip device program: pose -> GCN -> error."""
         c = self.cfg
-        spread = None
-        if c.error.spread_features:
-            kpts, spread = self._pose_fn(params, frames, boxes,
-                                         want_spread=True)    # [T,V,3],[T,V,4]
+        aux = None
+        if c.error.spread_features or c.error.mode_features:
+            kpts, aux = self._pose_fn(params, frames, boxes,
+                                      want_aux=True)          # [T,V,3],[T,V,4]
         else:
             kpts = self._pose_fn(params, frames, boxes)       # [T, V, 3]
         if "refine" in params:
@@ -368,7 +411,7 @@ class Pipeline:
             logits = self.gcn_model.apply(params["gcn"], sk, valid[None])
         err_logits = self.error_model.apply(
             params["error"], kpts[None], logits, valid[None], None,
-            None if spread is None else spread[None],
+            None if aux is None else aux[None],
         )                                                      # [1, E]
         labels = jnp.where(valid, jnp.argmax(logits[0], -1), -1)
         out = {
@@ -377,8 +420,8 @@ class Pipeline:
             "phase_labels": labels.astype(jnp.int32),
             "error_logits": err_logits[0],
         }
-        if spread is not None:
-            out["kpt_spread"] = spread
+        if aux is not None:
+            out["kpt_aux"] = aux
         return out
 
     def _align_fn(self, params, kpts_a, valid_a, kpts_b, valid_b):
@@ -396,7 +439,7 @@ class Pipeline:
         return {"cost": cost, "path": path, "path_length": length}
 
     def _align_refine_fn(self, params, kpts, valid, ref_kpts, ref_valid,
-                         phase_logits, spread=None):
+                         phase_logits, aux=None):
         """Alignment + alignment-conditioned error refinement (one pair).
 
         Realizes SURVEY.md §1 L3 ("error detection consumes L2 phases + L4
@@ -413,12 +456,12 @@ class Pipeline:
         out["error_logits"] = self.error_model.apply(
             params["error"], kpts[None], phase_logits[None], valid[None],
             ref_warp[None],
-            None if spread is None else spread[None],
+            None if aux is None else aux[None],
         )[0]
         return out
 
     def _align_batch_fn(self, params, kpts, valid, ref_kpts, ref_valid,
-                        phase_logits=None, spread=None):
+                        phase_logits=None, aux=None):
         """Align N clips against one reference swing in one program.
 
         kpts [N, T, V, 3], valid [N, T], ref_kpts [Tr, V, 3], ref_valid [Tr]
@@ -464,7 +507,7 @@ class Pipeline:
                 ref_kpts, path, length, kpts.shape[1]
             )
             out["error_logits"] = self.error_model.apply(
-                params["error"], kpts, phase_logits, valid, ref_warp, spread
+                params["error"], kpts, phase_logits, valid, ref_warp, aux
             )
         return out
 
@@ -519,7 +562,7 @@ class Pipeline:
                 self.params,
                 out["keypoints"], jnp.asarray(valid),
                 jnp.asarray(reference.keypoints), jnp.asarray(reference.valid),
-                out["phase_logits"], out.get("kpt_spread"),
+                out["phase_logits"], out.get("kpt_aux"),
             )
             alignment = types.AlignmentResult(
                 cost=a["cost"], path=a["path"], path_length=a["path_length"]
@@ -657,7 +700,7 @@ class Pipeline:
                     self.params, out["keypoints"], jnp.asarray(vd),
                     jnp.asarray(reference.keypoints),
                     jnp.asarray(reference.valid),
-                    out["phase_logits"], out.get("kpt_spread"),
+                    out["phase_logits"], out.get("kpt_aux"),
                 )
                 out["alignment"] = a
                 out["error_logits"] = a["error_logits"]

@@ -202,6 +202,46 @@ def detect_error_spread(root: str) -> Optional[bool]:
     return None
 
 
+def detect_error_aux(root: str) -> Optional[dict]:
+    """Infer the error head's aux-feature variant from its first Dense
+    kernel input dim: base (no aux), +2*V (spread_features), or +3*V
+    (mode_features).  Returns {"spread_features": bool,
+    "mode_features": bool} or None when undetectable."""
+    root = os.path.abspath(root)
+    base = os.path.join(root, "params") if os.path.isdir(
+        os.path.join(root, "params")
+    ) else root
+    in_dim = None
+    step_dir = latest_step_dir(os.path.join(base, "error"))
+    if step_dir:
+        try:
+            meta = ocp.StandardCheckpointer().metadata(step_dir).item_metadata
+            in_dim = int(meta["params"]["Dense_0"]["kernel"].shape[0])
+        except Exception:
+            return None
+    else:
+        npz = os.path.join(base, "error.npz")
+        if os.path.exists(npz):
+            try:
+                with np.load(npz) as d:
+                    in_dim = int(d["params/Dense_0/kernel"].shape[0])
+            except Exception:
+                return None
+    if in_dim is None:
+        return None
+    from golfaction_tpu.models.error import NUM_ANGLE_FEATURES
+    from golfaction_tpu.graph import NUM_JOINTS as V
+
+    base_dim = 2 * V + 2 * V + 2 * NUM_ANGLE_FEATURES + 3 * V + 1
+    if in_dim == base_dim:
+        return {"spread_features": False, "mode_features": False}
+    if in_dim == base_dim + 2 * V:
+        return {"spread_features": True, "mode_features": False}
+    if in_dim == base_dim + 3 * V:
+        return {"spread_features": False, "mode_features": True}
+    return None
+
+
 #: pose_meta.json keys -> PipelineConfig override paths.  These are pose
 #: properties NOT inferable from checkpoint array shapes (sigma-1.25 and
 #: sigma-2 nets are shape-identical) but required for correct decode: a
@@ -268,9 +308,11 @@ def config_for_artifacts(cfg, root: str):
     has_refine = latest_step_dir(os.path.join(base, "refine")) is not None
     if has_refine != cfg.refine.enabled:
         overrides.append(f"refine.enabled={has_refine}")   # Python literal
-    spread = detect_error_spread(root)
-    if spread is not None and spread != cfg.error.spread_features:
-        overrides.append(f"error.spread_features={spread}")
+    aux = detect_error_aux(root)
+    if aux is not None:
+        for k, v in aux.items():
+            if v != getattr(cfg.error, k):
+                overrides.append(f"error.{k}={v}")
     if not overrides:
         return cfg
     from golfaction_tpu import config as cfg_mod

@@ -1000,3 +1000,88 @@ def synth_spread(
     return np.concatenate(
         [cov, floor[..., None, None].repeat(V, axis=2)], axis=-1
     ).astype(np.float32)
+
+
+def synth_modes(
+    kpts: np.ndarray,
+    rng: np.random.Generator,
+    defl_vec: Optional[np.ndarray] = None,
+    gain: Optional[np.ndarray] = None,
+    clean_rel: Optional[np.ndarray] = None,
+    clean_sep: Optional[np.ndarray] = None,
+    miss_prob: float = 0.15,
+    fault_miss_prob: float = 0.05,
+) -> np.ndarray:
+    """Simulated secondary-mode features for synthetic cascade clips.
+
+    The runtime error head (error.mode_features) consumes per-joint
+    (dx, dy, rel_mass, sep) of the strongest NON-selected heatmap mode
+    (orchestrator._pose_pass, tracked decode).  Synthetic cascade clips
+    have no heatmaps, so the channel is MODELED consistently with the
+    attenuation simulation: a deflection d passed at gain g means the
+    decode selected clean + g*d, leaving the suppressed component at the
+    remainder — offset ~= (1-g)*d (probe_heatmap_modes: at training sigma
+    1.25 the suppressed true mode stays a separable local max in 95.9% of
+    faulted frames, median 1.2 hm px from truth).
+
+    kpts      [N, T, V, 3]  attenuated keypoints fed to the head (shape only)
+    defl_vec  [N, T, V, 2]  FULL-strength deflection (faulty - clean), px
+    gain      [N, 1, V, 1]  per-joint gain actually applied to build kpts
+    clean_rel [V]           measured per-joint MEDIAN runner-up mass ratio
+                            of the REAL pose front on typical joints — the
+                            false-positive noise floor synthetic clips
+                            must match (cascade_finetune measures it like
+                            blur_iso for spread)
+    clean_sep [V]           measured per-joint median runner-up separation
+                            (image px)
+    miss_prob               probability a clean joint-frame has no valid
+                            second mode (all-zero feature), mirroring the
+                            real NMS topk
+    fault_miss_prob         same for fault frames (small: the mode is
+                            nearly always present at sigma 1.25)
+
+    Returns [N, T, V, 4]: (dx, dy, rel_mass, sep) in image px.
+    """
+    N, T, V = kpts.shape[:3]
+    if clean_rel is None:
+        clean_rel = np.full(V, 0.10, np.float32)
+    if clean_sep is None:
+        clean_sep = np.full(V, 4.0, np.float32)
+
+    # Noise runner-up everywhere: per-(clip, joint) lognormal level shared
+    # across frames (real mode statistics are temporally coherent) with
+    # mild per-frame jitter — the same correlation structure synth_spread
+    # uses, because the head's temporal smoothing would otherwise average
+    # iid noise into a synthetic-domain giveaway.
+    lvl_rel = clean_rel[None, None, :] * rng.lognormal(0.0, 0.5, (N, 1, V))
+    lvl_sep = clean_sep[None, None, :] * rng.lognormal(0.0, 0.4, (N, 1, V))
+    rel = np.clip(lvl_rel * rng.lognormal(0.0, 0.25, (N, T, V)), 0.0, 1.5)
+    sep = lvl_sep * rng.lognormal(0.0, 0.2, (N, T, V))
+    ang = rng.uniform(0.0, 2 * np.pi, (N, T, V))
+    off = np.stack([sep * np.cos(ang), sep * np.sin(ang)], axis=-1)
+    present = rng.uniform(size=(N, T, V)) >= miss_prob
+
+    if defl_vec is not None and gain is not None:
+        g = np.broadcast_to(gain, (N, 1, V, 1)).astype(np.float32)
+        d = defl_vec.astype(np.float32)                       # [N, T, V, 2]
+        hidden = (1.0 - g) * d                                # (1-g)·d
+        mag = np.linalg.norm(hidden, axis=-1)                 # [N, T, V]
+        is_fault = mag > 2.0                                  # px threshold
+        jit = rng.lognormal(0.0, 0.25, (N, T, V, 1))
+        f_off = hidden * jit + rng.normal(0.0, 1.0, hidden.shape)
+        f_sep = np.linalg.norm(f_off, axis=-1)
+        f_rel = np.clip(
+            rng.uniform(0.3, 0.95, (N, 1, V))
+            * rng.lognormal(0.0, 0.15, (N, T, V)), 0.05, 1.5)
+        f_present = rng.uniform(size=(N, T, V)) >= fault_miss_prob
+        off = np.where(is_fault[..., None], f_off, off)
+        sep = np.where(is_fault, f_sep, sep)
+        rel = np.where(is_fault, f_rel, rel)
+        present = np.where(is_fault, f_present, present)
+
+    m = present[..., None].astype(np.float32)
+    out = np.concatenate(
+        [off * m, (rel * present)[..., None], (sep * present)[..., None]],
+        axis=-1,
+    ).astype(np.float32)
+    return out

@@ -62,6 +62,15 @@ def main():
                          "and re-initializes the head (feature dim "
                          "changes).  Subsequent runs auto-detect from the "
                          "saved checkpoint")
+    ap.add_argument("--modes", action="store_true",
+                    help="train the error head WITH secondary-mode "
+                         "features (error.mode_features, sigma-1.25 "
+                         "successor to --spread): collects the real "
+                         "tracked-decode runner-up modes through the pose "
+                         "front, simulates (1-g)-consistent hidden modes "
+                         "for synthetic clips, and re-initializes the "
+                         "head (feature dim changes).  Requires/forces "
+                         "pose.decode_tracking >= 2")
     ap.add_argument("--gain-profile", default=None,
                     help="probe_arm_gain.json with the promoted pose "
                          "front's measured per-fault/per-joint deflection "
@@ -94,9 +103,17 @@ def main():
     cfg = checkpoint.config_for_artifacts(cfg, args.artifacts)
     if args.spread and not cfg.error.spread_features:
         cfg = cfg_mod.apply_overrides(cfg, ["error.spread_features=True"])
+    if args.modes:
+        ov = []
+        if not cfg.error.mode_features:
+            ov += ["error.mode_features=True", "error.spread_features=False"]
+        if cfg.pose.decode_tracking < 2:
+            ov += ["pose.decode_tracking=4", "pose.track_suppress_radius=2.0"]
+        if ov:
+            cfg = cfg_mod.apply_overrides(cfg, ov)
     pipe = orchestrator.Pipeline(cfg, seed=0)
     like = dict(pipe.params)
-    if args.spread:
+    if args.spread or args.modes:
         # The pre-spread error checkpoint cannot restore into the widened
         # head; load everything else and keep the fresh error init (it is
         # re-initialized and fully trained below anyway).
@@ -119,13 +136,15 @@ def main():
     from golfaction_tpu.ops import affine
 
     use_spread = cfg.error.spread_features
-    pred_kpts, pred_spread, labels, flags = [], [], [], []
+    use_modes = cfg.error.mode_features
+    use_aux = use_spread or use_modes
+    pred_kpts, pred_aux, labels, flags = [], [], [], []
     for s in samples:
         boxes = video_io.estimate_person_boxes(s.frames)
-        if use_spread:
-            kp, spr = pipe._pose_spread(pipe.params, jnp.asarray(s.frames),
-                                        jnp.asarray(boxes))
-            pred_spread.append(np.asarray(spr))
+        if use_aux:
+            kp, spr = pipe._pose_aux(pipe.params, jnp.asarray(s.frames),
+                                     jnp.asarray(boxes))
+            pred_aux.append(np.asarray(spr))
         else:
             kp = pipe._pose_only(pipe.params, jnp.asarray(s.frames),
                                  jnp.asarray(boxes))
@@ -137,8 +156,32 @@ def main():
     flags = np.stack(flags)
 
     blur_iso = None
+    clean_rel = clean_sep = None
+    mode_miss = 0.15
+    if use_aux:
+        pred_aux = np.stack(pred_aux)                  # [N, T, V, 4]
+    if use_modes:
+        # Measured per-joint noise floor of the REAL runner-up modes
+        # (mass ratio + separation on typical joints) — the synthetic
+        # clips must match it or "quiet second mode" becomes a
+        # synthetic-domain giveaway (same lesson as blur_iso for spread).
+        present = pred_aux[..., 3] > 0                 # [N, T, V]
+        mode_miss = float(np.clip(1.0 - present.mean(), 0.0, 0.9))
+        V = pred_aux.shape[2]
+        clean_rel = np.empty(V, np.float32)
+        clean_sep = np.empty(V, np.float32)
+        for j in range(V):
+            m = present[..., j]
+            clean_rel[j] = float(np.median(pred_aux[..., j, 2][m])) \
+                if m.any() else 0.1
+            clean_sep[j] = float(np.median(pred_aux[..., j, 3][m])) \
+                if m.any() else 4.0
+        log(f"[modes] measured runner-up floor: miss {mode_miss:.2f}, "
+            f"rel med elbows {clean_rel[7]:.2f}/{clean_rel[8]:.2f} "
+            f"wrists {clean_rel[9]:.2f}/{clean_rel[10]:.2f}; sep med "
+            f"elbows {clean_sep[7]:.0f}/{clean_sep[8]:.0f} px")
     if use_spread:
-        pred_spread = np.stack(pred_spread)            # [N, T, V, 4]
+        pred_spread = pred_aux                         # [N, T, V, 4]
         # Measured per-joint isotropic excess variance of the REAL pose
         # front (motion blur widens blobs even on clean joints): the
         # synthetic clips' spread must match it or blob width becomes a
@@ -315,13 +358,19 @@ def main():
             jnp.asarray(aug_k), jnp.ones(aug_k.shape[:2], bool)))
         pipe.params = dict(pipe.params, refine=rparams)
 
-    pool_spread = None
+    pool_aux = None
     if use_spread:
         # Aug-pool clips carry FULL (unattenuated) deflections, so their
         # simulated blobs are isotropic: floor + measured blur excess only.
-        aug_spread = data.synth_spread(aug_k, cfg.pose, tuple(args.hw),
-                                       rng_aug, blur_iso=blur_iso)
-        pool_spread = jnp.asarray(np.concatenate([pred_spread, aug_spread]))
+        aug_aux = data.synth_spread(aug_k, cfg.pose, tuple(args.hw),
+                                    rng_aug, blur_iso=blur_iso)
+        pool_aux = jnp.asarray(np.concatenate([pred_aux, aug_aux]))
+    elif use_modes:
+        # Aug-pool keypoints carry FULL deflections (nothing suppressed),
+        # so their runner-up modes are the measured noise floor only.
+        aug_aux = data.synth_modes(aug_k, rng_aug, clean_rel=clean_rel,
+                                   clean_sep=clean_sep, miss_prob=mode_miss)
+        pool_aux = jnp.asarray(np.concatenate([pred_aux, aug_aux]))
     pred_kpts = np.concatenate([pred_kpts, aug_k])
     labels = np.concatenate([labels, np.stack([s.phase_labels for s in aug])])
     flags = np.concatenate([flags, np.stack([s.error_flags for s in aug])])
@@ -388,8 +437,8 @@ def main():
 
     estep = loops._make_step(err_loss, tx)
     eparams = pipe.params["error"]
-    if use_spread:
-        # The spread block changes the head's feature dim; a checkpoint
+    if use_aux:
+        # The aux block changes the head's feature dim; a checkpoint
         # trained without it cannot be restored into the new shape — start
         # the head fresh (it is small; the cascade run trains it fully).
         fresh = err_model.init(
@@ -399,7 +448,7 @@ def main():
             if jax.tree.structure(eparams) == jax.tree.structure(fresh) \
             else False
         if not shapes_ok:
-            log("[error-cascade] feature dim changed (spread_features): "
+            log("[error-cascade] feature dim changed (aux features): "
                 "re-initializing the error head")
             eparams = fresh
     eopt = tx.init(eparams)
@@ -491,6 +540,14 @@ def main():
             sp_f = data.synth_spread(fk, cfg.pose, tuple(args.hw), rng_aug,
                                      defl_vec=dfl, gain=g,
                                      blur_iso=blur_iso, beta=bb)
+        elif use_modes:
+            # Hidden mode consistent with the attenuation just applied:
+            # the decode took clean + g·d, the suppressed component sits
+            # at the (1-g)·d remainder (probe_heatmap_modes).
+            sp_f = data.synth_modes(fk, rng_aug, defl_vec=dfl, gain=g,
+                                    clean_rel=clean_rel,
+                                    clean_sep=clean_sep,
+                                    miss_prob=mode_miss)
         fk = jnp.asarray(fk)
         v_f = jnp.ones((half, T), bool)
         if refine_apply is not None:   # runtime parity: head sees refined
@@ -510,8 +567,8 @@ def main():
             idx = jnp.asarray(np.concatenate([i_r, i_s]))
         else:
             idx = jnp.asarray(rng.choice(N, size=half, replace=False))
-        if use_spread:
-            sp_all = jnp.concatenate([jnp.asarray(sp_f), pool_spread[idx]])
+        if use_aux:
+            sp_all = jnp.concatenate([jnp.asarray(sp_f), pool_aux[idx]])
         k_all = jnp.concatenate([fk, pred_kpts[idx]])  # RAW for error head
         v_all = jnp.concatenate([v_f, valid[idx]])
         pl_all = jnp.concatenate([gcn_fwd(gparams, sk_f, v_f),

@@ -26,6 +26,19 @@ def main():
     ap.add_argument("--eval-clips", type=int, default=6)
     ap.add_argument("--frames", type=int, default=8)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--save-state", default=None,
+                    help="run the host-side prep (render, calibration, "
+                         "weight quantization) and pickle it here, then "
+                         "exit.  Pair with --cpu: calibration is an EAGER "
+                         "per-layer recording pass whose hundreds of "
+                         "un-jitted ops each cost a compile+dispatch round "
+                         "trip on a tunneled TPU (measured ~1 op/min); on "
+                         "host CPU it is value-identical and takes "
+                         "minutes.  The TPU process then only runs the "
+                         "jitted forwards")
+    ap.add_argument("--load-state", default=None,
+                    help="load a --save-state pickle instead of "
+                         "re-rendering/calibrating (the TPU measure stage)")
     args = ap.parse_args()
 
     import jax
@@ -77,12 +90,41 @@ def main():
             boxes_all.append(boxes)
         return jnp.concatenate(crops), np.concatenate(gts), jnp.concatenate(boxes_all)
 
-    log("rendering calibration + eval clips ...")
-    calib_crops, _, _ = crops_and_gt(args.calib_clips, 660_000)
-    eval_crops, gt_kpts, eval_boxes = crops_and_gt(args.eval_clips, 661_000)
+    if args.load_state:
+        import pickle
 
-    log("calibrating ...")
-    qw, scales = pose_quant.prepare_int8(params, cfg, calib_crops)
+        with open(args.load_state, "rb") as f:
+            st = pickle.load(f)
+        eval_crops = jnp.asarray(st["eval_crops"])
+        gt_kpts = st["gt_kpts"]
+        eval_boxes = jnp.asarray(st["eval_boxes"])
+        qw = jax.tree.map(jnp.asarray, st["qw"])
+        scales = st["scales"]
+        log(f"state loaded from {args.load_state}")
+    else:
+        log("rendering calibration + eval clips ...")
+        calib_crops, _, _ = crops_and_gt(args.calib_clips, 660_000)
+        eval_crops, gt_kpts, eval_boxes = crops_and_gt(args.eval_clips,
+                                                       661_000)
+
+        log("calibrating ...")
+        qw, scales = pose_quant.prepare_int8(params, cfg, calib_crops)
+
+    if args.save_state:
+        import pickle
+
+        st = {
+            "eval_crops": np.asarray(eval_crops),
+            "gt_kpts": np.asarray(gt_kpts),
+            "eval_boxes": np.asarray(eval_boxes),
+            "qw": jax.tree.map(np.asarray, qw),
+            "scales": scales,
+        }
+        with open(args.save_state, "wb") as f:
+            pickle.dump(st, f)
+        log(f"state saved to {args.save_state}; run --load-state on the "
+            f"accelerator to measure")
+        return
 
     f_float = jax.jit(lambda p, x: model.apply(p, x))
     f_int8 = jax.jit(lambda p, x: pose_quant.pose_forward_int8(p, qw, scales, cfg, x))

@@ -1011,6 +1011,7 @@ def synth_modes(
     clean_sep: Optional[np.ndarray] = None,
     miss_prob: float = 0.15,
     fault_miss_prob: float = 0.05,
+    presence: Optional[np.ndarray] = None,
 ) -> np.ndarray:
     """Simulated secondary-mode features for synthetic cascade clips.
 
@@ -1038,7 +1039,18 @@ def synth_modes(
                             second mode (all-zero feature), mirroring the
                             real NMS topk
     fault_miss_prob         same for fault frames (small: the mode is
-                            nearly always present at sigma 1.25)
+                            nearly always present at sigma 1.25) — only
+                            used when `presence` is None
+    presence  [N, 1, V]     MEASURED per-clip/joint probability that a
+                            suppressed hidden mode exists at all
+                            (conditioned_presence over
+                            probe_heatmap_modes).  Bimodality is real
+                            only for prior-dominated fast-arm joints;
+                            drift faults pass unimodally at partial gain,
+                            and synthesizing hidden modes for them
+                            teaches a cue the runtime never produces
+                            (measured: early_extension e2e F1 1.0 ->
+                            0.18 in the unconditioned first cascade).
 
     Returns [N, T, V, 4]: (dx, dy, rel_mass, sep) in image px.
     """
@@ -1073,11 +1085,19 @@ def synth_modes(
         f_rel = np.clip(
             rng.uniform(0.3, 0.95, (N, 1, V))
             * rng.lognormal(0.0, 0.15, (N, T, V)), 0.05, 1.5)
-        f_present = rng.uniform(size=(N, T, V)) >= fault_miss_prob
-        off = np.where(is_fault[..., None], f_off, off)
-        sep = np.where(is_fault, f_sep, sep)
-        rel = np.where(is_fault, f_rel, rel)
-        present = np.where(is_fault, f_present, present)
+        if presence is None:
+            pres_p = np.full((N, 1, V), 1.0 - fault_miss_prob, np.float32)
+        else:
+            pres_p = np.broadcast_to(
+                np.asarray(presence, np.float32), (N, 1, V))
+        f_present = rng.uniform(size=(N, T, V)) < pres_p
+        # Where the hidden mode is ABSENT (per the measured presence), the
+        # joint keeps the clean noise floor — not a zeroed feature: the
+        # runtime NMS always returns some runner-up peak.
+        take = is_fault & f_present
+        off = np.where(take[..., None], f_off, off)
+        sep = np.where(take, f_sep, sep)
+        rel = np.where(take, f_rel, rel)
 
     m = present[..., None].astype(np.float32)
     out = np.concatenate(
@@ -1085,3 +1105,73 @@ def synth_modes(
         axis=-1,
     ).astype(np.float32)
     return out
+
+
+def load_mode_profile(path: str) -> Optional[np.ndarray]:
+    """probe_heatmap_modes results -> per-(fault, joint) presence [E, 17].
+
+    presence = measured fraction of faulted frames where the TRUE
+    (suppressed) joint location survives as a separable heatmap mode
+    (probe_heatmap_modes `true_mode_present_frac`).  Accepts either the
+    merged form {"faults": {name: {"per_joint_presence": {j: frac}}}} or
+    a single-fault probe output ({"summary": {...}}).  NaN where
+    unmeasured; None when the file does not exist.
+    """
+    import json as _json
+    import os as _os
+
+    if not _os.path.exists(path):
+        return None
+    with open(path) as f:
+        prof = _json.load(f)
+    tab = np.full((len(cfg_mod.SWING_ERRORS), graph.NUM_JOINTS), np.nan,
+                  np.float32)
+    faults = prof.get("faults")
+    if faults is None and "summary" in prof:
+        s = prof["summary"]
+        frac = s.get("true_mode_present_frac")
+        if frac is not None and s.get("fault") in cfg_mod.SWING_ERRORS:
+            joints = sorted({f["joint"] for f in prof.get("frames", [])})
+            faults = {s["fault"]: {
+                "per_joint_presence": {str(j): frac for j in joints}}}
+    for e, name in enumerate(cfg_mod.SWING_ERRORS):
+        per_joint = (faults or {}).get(name, {}).get(
+            "per_joint_presence", {})
+        for js, pv in per_joint.items():
+            tab[e, int(js)] = pv
+    return tab
+
+
+def conditioned_presence(
+    presence_tab: Optional[np.ndarray],
+    error_flags: np.ndarray,
+    default: float = 0.0,
+) -> np.ndarray:
+    """Per-joint hidden-mode presence probability [17] for one simulated
+    cascade clip: MAX measured presence across the clip's active faults,
+    `default` (CONSERVATIVE 0.0 = noise floor only) where unmeasured.
+
+    This is the mode-feature analog of conditioned_beta, and exists for
+    the same measured reason: drift faults (hips) pass through the pose
+    front at gain ~0.7 with UNIMODAL heatmaps — the net tracks the
+    deflection partway, nothing is suppressed into a second mode — so
+    synthesizing a hidden mode for them teaches the head a cue the
+    runtime never produces (round-5 first mode-cascade: early_extension
+    e2e F1 1.0 -> 0.18).  Bimodality is real only where the canonical
+    prior FIGHTS the image evidence (fast arm faults, probe_heatmap_modes
+    presence 0.96 on the chicken_wing elbow).
+    """
+    V = presence_tab.shape[1] if presence_tab is not None \
+        else graph.NUM_JOINTS
+    p = np.full(V, default, np.float32)
+    if presence_tab is None:
+        return p
+    active = np.flatnonzero(np.asarray(error_flags) > 0.5)
+    if active.size == 0:
+        return p
+    pa = np.where(np.isnan(presence_tab[active]), -np.inf,
+                  presence_tab[active])
+    m = pa.max(axis=0)
+    meas = np.isfinite(m)
+    p[meas] = m[meas]
+    return p

@@ -482,6 +482,18 @@ def main():
             log(f"synthetic spread scaled by measured per-fault transfer "
                 f"{beta_path} ({int(np.isfinite(beta_tab).sum())} "
                 f"fault-joint betas)")
+    pres_tab = None
+    if use_modes:
+        pres_path = f"{args.artifacts}/probe_heatmap_modes.json"
+        pres_tab = data.load_mode_profile(pres_path)
+        if pres_tab is not None:
+            log(f"synthetic hidden modes gated by measured presence "
+                f"{pres_path} ({int(np.isfinite(pres_tab).sum())} "
+                f"fault-joint fractions); unmeasured -> noise floor")
+        else:
+            log("WARNING: no probe_heatmap_modes.json presence profile — "
+                "synthetic hidden modes on ALL fault joints (the "
+                "unconditioned variant that collapsed drift faults)")
 
     def _fresh_pairs(i):
         """half (faulty, clean-counterpart) clips sharing style/tempo/noise
@@ -543,11 +555,16 @@ def main():
         elif use_modes:
             # Hidden mode consistent with the attenuation just applied:
             # the decode took clean + g·d, the suppressed component sits
-            # at the (1-g)·d remainder (probe_heatmap_modes).
+            # at the (1-g)·d remainder — but ONLY for fault joints whose
+            # measured heatmaps are actually bimodal (conditioned_presence
+            # over probe_heatmap_modes; drift faults pass unimodally).
+            pp = np.stack([
+                data.conditioned_presence(pres_tab, s.error_flags)
+                for s in fresh])[:, None, :]
             sp_f = data.synth_modes(fk, rng_aug, defl_vec=dfl, gain=g,
                                     clean_rel=clean_rel,
                                     clean_sep=clean_sep,
-                                    miss_prob=mode_miss)
+                                    miss_prob=mode_miss, presence=pp)
         fk = jnp.asarray(fk)
         v_f = jnp.ones((half, T), bool)
         if refine_apply is not None:   # runtime parity: head sees refined

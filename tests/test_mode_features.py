@@ -148,3 +148,47 @@ def test_detect_error_aux_variants(tmp_path):
             cfg_mod.get_config("full_pipeline"), str(root))
         assert got.error.spread_features == expect["spread_features"]
         assert got.error.mode_features == expect["mode_features"]
+
+
+def test_presence_gating_and_profile(tmp_path):
+    import json
+
+    # Merged profile: chicken_wing elbow is bimodal, early_extension not
+    # measured -> conservative noise floor.
+    prof = {"faults": {"chicken_wing": {"per_joint_presence": {"7": 0.96}},
+                       "over_the_top": {"per_joint_presence": {"7": 0.5,
+                                                               "9": 0.3}}}}
+    p = tmp_path / "probe_heatmap_modes.json"
+    p.write_text(json.dumps(prof))
+    tab = data.load_mode_profile(str(p))
+    e_cw = cfg_mod.SWING_ERRORS.index("chicken_wing")
+    e_ee = cfg_mod.SWING_ERRORS.index("early_extension")
+    assert tab[e_cw, 7] == pytest.approx(0.96)
+    assert np.isnan(tab[e_ee, 11])
+
+    flags = np.zeros(cfg_mod.NUM_ERRORS, np.float32)
+    flags[e_cw] = 1.0
+    pres = data.conditioned_presence(tab, flags)
+    assert pres[7] == pytest.approx(0.96)
+    assert pres[11] == 0.0              # unmeasured -> no synthetic mode
+
+    # synth_modes with presence=0 keeps the NOISE FLOOR on fault joints
+    # (the NMS always returns a runner-up), not the hidden mode.
+    rng = np.random.default_rng(0)
+    N, T, V = 4, 16, 17
+    kpts = rng.normal(300, 50, (N, T, V, 3)).astype(np.float32)
+    defl = np.zeros((N, T, V, 2), np.float32)
+    defl[..., 11, 0] = 30.0            # hip deflection, presence 0
+    defl[..., 7, 0] = 30.0             # elbow deflection, presence 1
+    g = np.full((N, 1, V, 1), 0.3, np.float32)
+    pres = np.zeros((N, 1, V), np.float32)
+    pres[..., 7] = 1.0
+    out = data.synth_modes(kpts, rng, defl_vec=defl, gain=g,
+                           clean_rel=np.full(V, 0.1, np.float32),
+                           clean_sep=np.full(V, 80.0, np.float32),
+                           miss_prob=0.0, presence=pres)
+    # Elbow: hidden mode at ~(1-g)*30 = 21 px with directed offset.
+    assert 12.0 < float(np.median(out[..., 7, 0])) < 32.0
+    # Hip: noise floor — large random sep (~80 px), near-zero median dx.
+    assert float(np.median(out[..., 11, 3])) > 40.0
+    assert abs(float(np.median(out[..., 11, 0]))) < 30.0

@@ -1012,6 +1012,7 @@ def synth_modes(
     miss_prob: float = 0.15,
     fault_miss_prob: float = 0.05,
     presence: Optional[np.ndarray] = None,
+    canon_frac: Optional[np.ndarray] = None,
 ) -> np.ndarray:
     """Simulated secondary-mode features for synthetic cascade clips.
 
@@ -1051,6 +1052,15 @@ def synth_modes(
                             teaches a cue the runtime never produces
                             (measured: early_extension e2e F1 1.0 ->
                             0.18 in the unconditioned first cascade).
+    canon_frac [N, 1, V]    MEASURED probability the ARGMAX sits at the
+                            canonical ghost (probe
+                            `peak_nearer_canon_frac`).  Decides the
+                            runner-up's SIDE per frame: canonical-
+                            dominated -> runner-up toward truth at
+                            +(1-g)·d; truth-dominated -> runner-up IS
+                            the ghost at -g·d.  Defaults to always
+                            canonical-dominated (the chicken_wing
+                            regime).
 
     Returns [N, T, V, 4]: (dx, dy, rel_mass, sep) in image px.
     """
@@ -1076,7 +1086,17 @@ def synth_modes(
     if defl_vec is not None and gain is not None:
         g = np.broadcast_to(gain, (N, 1, V, 1)).astype(np.float32)
         d = defl_vec.astype(np.float32)                       # [N, T, V, 2]
-        hidden = (1.0 - g) * d                                # (1-g)·d
+        if canon_frac is None:
+            cf = np.ones((N, 1, V), np.float32)
+        else:
+            cf = np.broadcast_to(
+                np.asarray(canon_frac, np.float32), (N, 1, V))
+        side_canon = rng.uniform(size=(N, T, V, 1)) < cf[..., None]
+        # Canonical-dominated frame: selected ~ clean + g·d, runner-up at
+        # the truth -> +(1-g)·d.  Truth-dominated: runner-up is the ghost
+        # at clean -> -g·d.  The argmax flickers between the two across
+        # frames (probe: best_mode_rank alternates), hence per-frame draw.
+        hidden = np.where(side_canon, (1.0 - g) * d, -g * d)
         mag = np.linalg.norm(hidden, axis=-1)                 # [N, T, V]
         is_fault = mag > 2.0                                  # px threshold
         jit = rng.lognormal(0.0, 0.25, (N, T, V, 1))
@@ -1107,15 +1127,24 @@ def synth_modes(
     return out
 
 
-def load_mode_profile(path: str) -> Optional[np.ndarray]:
-    """probe_heatmap_modes results -> per-(fault, joint) presence [E, 17].
+def load_mode_profile(path: str) -> Optional[tuple[np.ndarray, np.ndarray]]:
+    """probe_heatmap_modes results -> per-(fault, joint) tables
+    (presence [E, 17], canon_frac [E, 17]).
 
     presence = measured fraction of faulted frames where the TRUE
     (suppressed) joint location survives as a separable heatmap mode
-    (probe_heatmap_modes `true_mode_present_frac`).  Accepts either the
-    merged form {"faults": {name: {"per_joint_presence": {j: frac}}}} or
-    a single-fault probe output ({"summary": {...}}).  NaN where
-    unmeasured; None when the file does not exist.
+    (`true_mode_present_frac`; 0.0 when the probe found zero
+    well-separated frames — e.g. early_extension's hip shift never
+    leaves the canonical blob).  canon_frac = fraction of frames whose
+    ARGMAX sits nearer the canonical ghost than the truth
+    (`peak_nearer_canon_frac`) — it decides which SIDE the runner-up
+    mode sits on (canonical-dominated: runner-up toward truth at
+    +(1-g)·d; truth-dominated: runner-up is the ghost at -g·d).
+    Accepts either the merged form
+    {"faults": {name: {"per_joint_presence": {...},
+    "per_joint_canon_frac": {...}}}} or a single-fault probe output
+    ({"summary": {...}}).  NaN where unmeasured; None when the file does
+    not exist.
     """
     import json as _json
     import os as _os
@@ -1124,22 +1153,28 @@ def load_mode_profile(path: str) -> Optional[np.ndarray]:
         return None
     with open(path) as f:
         prof = _json.load(f)
-    tab = np.full((len(cfg_mod.SWING_ERRORS), graph.NUM_JOINTS), np.nan,
-                  np.float32)
+    E, V = len(cfg_mod.SWING_ERRORS), graph.NUM_JOINTS
+    pres = np.full((E, V), np.nan, np.float32)
+    canon = np.full((E, V), np.nan, np.float32)
     faults = prof.get("faults")
     if faults is None and "summary" in prof:
         s = prof["summary"]
-        frac = s.get("true_mode_present_frac")
-        if frac is not None and s.get("fault") in cfg_mod.SWING_ERRORS:
+        if s.get("fault") in cfg_mod.SWING_ERRORS:
             joints = sorted({f["joint"] for f in prof.get("frames", [])})
-            faults = {s["fault"]: {
-                "per_joint_presence": {str(j): frac for j in joints}}}
+            frac = s.get("true_mode_present_frac")
+            frac = 0.0 if frac is None else frac
+            cf = s.get("peak_nearer_canon_frac")
+            entry = {"per_joint_presence": {str(j): frac for j in joints}}
+            if cf is not None:
+                entry["per_joint_canon_frac"] = {str(j): cf for j in joints}
+            faults = {s["fault"]: entry}
     for e, name in enumerate(cfg_mod.SWING_ERRORS):
-        per_joint = (faults or {}).get(name, {}).get(
-            "per_joint_presence", {})
-        for js, pv in per_joint.items():
-            tab[e, int(js)] = pv
-    return tab
+        entry = (faults or {}).get(name, {})
+        for js, pv in entry.get("per_joint_presence", {}).items():
+            pres[e, int(js)] = pv
+        for js, cv in entry.get("per_joint_canon_frac", {}).items():
+            canon[e, int(js)] = cv
+    return pres, canon
 
 
 def conditioned_presence(

@@ -482,10 +482,12 @@ def main():
             log(f"synthetic spread scaled by measured per-fault transfer "
                 f"{beta_path} ({int(np.isfinite(beta_tab).sum())} "
                 f"fault-joint betas)")
-    pres_tab = None
+    pres_tab = canon_tab = None
     if use_modes:
         pres_path = f"{args.artifacts}/probe_heatmap_modes.json"
-        pres_tab = data.load_mode_profile(pres_path)
+        prof = data.load_mode_profile(pres_path)
+        if prof is not None:
+            pres_tab, canon_tab = prof
         if pres_tab is not None:
             log(f"synthetic hidden modes gated by measured presence "
                 f"{pres_path} ({int(np.isfinite(pres_tab).sum())} "
@@ -561,10 +563,15 @@ def main():
             pp = np.stack([
                 data.conditioned_presence(pres_tab, s.error_flags)
                 for s in fresh])[:, None, :]
+            cc = np.stack([
+                data.conditioned_presence(canon_tab, s.error_flags,
+                                          default=1.0)
+                for s in fresh])[:, None, :]
             sp_f = data.synth_modes(fk, rng_aug, defl_vec=dfl, gain=g,
                                     clean_rel=clean_rel,
                                     clean_sep=clean_sep,
-                                    miss_prob=mode_miss, presence=pp)
+                                    miss_prob=mode_miss, presence=pp,
+                                    canon_frac=cc)
         fk = jnp.asarray(fk)
         v_f = jnp.ones((half, T), bool)
         if refine_apply is not None:   # runtime parity: head sees refined

@@ -155,15 +155,17 @@ def test_presence_gating_and_profile(tmp_path):
 
     # Merged profile: chicken_wing elbow is bimodal, early_extension not
     # measured -> conservative noise floor.
-    prof = {"faults": {"chicken_wing": {"per_joint_presence": {"7": 0.96}},
+    prof = {"faults": {"chicken_wing": {"per_joint_presence": {"7": 0.96},
+                                        "per_joint_canon_frac": {"7": 0.62}},
                        "over_the_top": {"per_joint_presence": {"7": 0.5,
                                                                "9": 0.3}}}}
     p = tmp_path / "probe_heatmap_modes.json"
     p.write_text(json.dumps(prof))
-    tab = data.load_mode_profile(str(p))
+    tab, canon = data.load_mode_profile(str(p))
     e_cw = cfg_mod.SWING_ERRORS.index("chicken_wing")
     e_ee = cfg_mod.SWING_ERRORS.index("early_extension")
     assert tab[e_cw, 7] == pytest.approx(0.96)
+    assert canon[e_cw, 7] == pytest.approx(0.62)
     assert np.isnan(tab[e_ee, 11])
 
     flags = np.zeros(cfg_mod.NUM_ERRORS, np.float32)
@@ -192,3 +194,13 @@ def test_presence_gating_and_profile(tmp_path):
     # Hip: noise floor — large random sep (~80 px), near-zero median dx.
     assert float(np.median(out[..., 11, 3])) > 40.0
     assert abs(float(np.median(out[..., 11, 0]))) < 30.0
+
+    # Truth-dominated side (canon_frac=0): the runner-up IS the ghost at
+    # -g·d = -9 px (measured regime for over_the_top/casting/hanging_back
+    # where peak_nearer_canon_frac is 0.16-0.29).
+    out2 = data.synth_modes(kpts, rng, defl_vec=defl, gain=g,
+                            clean_rel=np.full(V, 0.1, np.float32),
+                            clean_sep=np.full(V, 80.0, np.float32),
+                            miss_prob=0.0, presence=pres,
+                            canon_frac=np.zeros((N, 1, V), np.float32))
+    assert -16.0 < float(np.median(out2[..., 7, 0])) < -4.0

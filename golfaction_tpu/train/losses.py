@@ -37,12 +37,22 @@ def phase_cross_entropy(logits, labels, valid=None, label_smoothing=0.0):
     return ce.mean()
 
 
-def error_bce(logits, flags):
-    """Multi-label fault loss.  logits [B,E], flags [B,E] in {0,1}."""
+def error_bce(logits, flags, fault_weights=None):
+    """Multi-label fault loss.  logits [B,E], flags [B,E] in {0,1}.
+
+    `fault_weights` [E] (optional) reweights each fault's BCE term:
+    subtle small-deflection faults (early_extension: 17 px of hip lift
+    confined to the short downswing window, the smallest signature in the
+    set) otherwise contribute so little to the mean that the head can sit
+    at ~3% aggregate-accuracy cost while never learning them at all
+    (measured round 5: train acc 0.97 with EE stage-wise prob 0.12)."""
     logits = logits.astype(jnp.float32)
-    return jnp.mean(
-        jnp.maximum(logits, 0) - logits * flags + jnp.log1p(jnp.exp(-jnp.abs(logits)))
-    )
+    per = (jnp.maximum(logits, 0) - logits * flags
+           + jnp.log1p(jnp.exp(-jnp.abs(logits))))              # [B, E]
+    if fault_weights is None:
+        return jnp.mean(per)
+    w = jnp.asarray(fault_weights, jnp.float32)
+    return jnp.sum(per * w) / (per.shape[0] * jnp.sum(w))
 
 
 def softdtw_divergence(emb_a, emb_b, gamma: float):

@@ -71,6 +71,22 @@ def main():
                          "for synthetic clips, and re-initializes the "
                          "head (feature dim changes).  Requires/forces "
                          "pose.decode_tracking >= 2")
+    ap.add_argument("--collect-cache", default=None,
+                    help="pickle path for the rendered-clip collection "
+                         "(pred keypoints/aux/labels/flags): saved after "
+                         "a fresh collection, reused when the file "
+                         "exists — re-running the cascade with different "
+                         "training knobs skips the ~20 min render + "
+                         "pose-front pass (same seeds => identical data)")
+    ap.add_argument("--fault-weight", action="append", default=[],
+                    metavar="NAME=W",
+                    help="per-fault BCE loss weight for the error cascade "
+                         "(repeatable), e.g. --fault-weight "
+                         "early_extension=3: subtle faults otherwise "
+                         "vanish into the aggregate loss (train acc 0.97 "
+                         "with EE never learned — round-5 diagnosis)")
+    ap.add_argument("--error-steps", type=int, default=None,
+                    help="error-head cascade steps (default 2*--steps)")
     ap.add_argument("--gain-profile", default=None,
                     help="probe_arm_gain.json with the promoted pose "
                          "front's measured per-fault/per-joint deflection "
@@ -126,34 +142,66 @@ def main():
                                                       like=like)
 
     # ---- 1. Collect predicted keypoints through the real pipeline front ----
-    log(f"rendering {args.clips} clips + running pose front ...")
     T = args.frames
-    samples = data.make_swing_batch(args.clips, T, seed=550_000,
-                                    image_hw=tuple(args.hw), render=True,
-                                    fault_prob=0.5,
-                                    scene_families=data.TRAIN_SCENE_FAMILIES)
-    from golfaction_tpu.pipeline import video_io
-    from golfaction_tpu.ops import affine
-
     use_spread = cfg.error.spread_features
     use_modes = cfg.error.mode_features
     use_aux = use_spread or use_modes
-    pred_kpts, pred_aux, labels, flags = [], [], [], []
-    for s in samples:
-        boxes = video_io.estimate_person_boxes(s.frames)
-        if use_aux:
-            kp, spr = pipe._pose_aux(pipe.params, jnp.asarray(s.frames),
+    import pickle
+
+    cache_hit = args.collect_cache and os.path.exists(args.collect_cache)
+    from golfaction_tpu.pipeline import video_io
+    from golfaction_tpu.ops import affine
+
+    if cache_hit:
+        # Rendering consumes rng BEFORE keypoint placement, so the sample
+        # ground truth cannot be regenerated with render=False — the cache
+        # carries it (frames are not needed after collection).
+        with open(args.collect_cache, "rb") as f:
+            cc = pickle.load(f)
+        pred_kpts, pred_aux = cc["pred_kpts"], cc["pred_aux"]
+        labels, flags = cc["labels"], cc["flags"]
+        samples = [data.SwingSample(keypoints=k, phase_labels=l,
+                                    error_flags=fl, progress=pr,
+                                    fault_defl=fd)
+                   for k, l, fl, pr, fd in zip(
+                       cc["gt_keypoints"], labels, flags,
+                       cc["gt_progress"], cc["gt_fault_defl"])]
+        log(f"collection loaded from {args.collect_cache} "
+            f"({len(pred_kpts)} clips)")
+        assert len(pred_kpts) == args.clips, "cache/clip-count mismatch"
+    else:
+        samples = data.make_swing_batch(
+            args.clips, T, seed=550_000, image_hw=tuple(args.hw),
+            render=True, fault_prob=0.5,
+            scene_families=data.TRAIN_SCENE_FAMILIES)
+        log(f"rendering {args.clips} clips + running pose front ...")
+        pred_kpts, pred_aux, labels, flags = [], [], [], []
+        for s in samples:
+            boxes = video_io.estimate_person_boxes(s.frames)
+            if use_aux:
+                kp, spr = pipe._pose_aux(pipe.params, jnp.asarray(s.frames),
+                                         jnp.asarray(boxes))
+                pred_aux.append(np.asarray(spr))
+            else:
+                kp = pipe._pose_only(pipe.params, jnp.asarray(s.frames),
                                      jnp.asarray(boxes))
-            pred_aux.append(np.asarray(spr))
-        else:
-            kp = pipe._pose_only(pipe.params, jnp.asarray(s.frames),
-                                 jnp.asarray(boxes))
-        pred_kpts.append(np.asarray(kp))
-        labels.append(s.phase_labels)
-        flags.append(s.error_flags)
-    pred_kpts = np.stack(pred_kpts)                    # [N, T, V, 3]
-    labels = np.stack(labels)
-    flags = np.stack(flags)
+            pred_kpts.append(np.asarray(kp))
+            labels.append(s.phase_labels)
+            flags.append(s.error_flags)
+        pred_kpts = np.stack(pred_kpts)                # [N, T, V, 3]
+        labels = np.stack(labels)
+        flags = np.stack(flags)
+        if args.collect_cache:
+            with open(args.collect_cache, "wb") as f:
+                pickle.dump({
+                    "pred_kpts": pred_kpts,
+                    "pred_aux": pred_aux if use_aux else [],
+                    "labels": labels, "flags": flags,
+                    "gt_keypoints": [s.keypoints for s in samples],
+                    "gt_progress": [s.progress for s in samples],
+                    "gt_fault_defl": [s.fault_defl for s in samples],
+                }, f)
+            log(f"collection cached to {args.collect_cache}")
 
     blur_iso = None
     clean_rel = clean_sep = None
@@ -427,10 +475,18 @@ def main():
     ref_np[..., :2] += rng_aug.normal(0, sigma, ref_np[..., :2].shape)
     ref_warp = jnp.asarray(ref_np)  # raw: the error head clip-normalizes
 
+    fw = None
+    if args.fault_weight:
+        fw = np.ones(cfg_mod.NUM_ERRORS, np.float32)
+        for spec in args.fault_weight:
+            name, wv = spec.split("=")
+            fw[cfg_mod.SWING_ERRORS.index(name)] = float(wv)
+        log(f"[error-cascade] per-fault loss weights: {fw.tolist()}")
+
     def err_loss(params, batch):
         s, pl_, f, v, rw, sp = batch
         logits = err_model.apply(params, s, pl_, v, rw, sp)
-        loss = losses.error_bce(logits, f)
+        loss = losses.error_bce(logits, f, fault_weights=fw)
         pred = (jax.nn.sigmoid(logits) > 0.5).astype(jnp.float32)
         acc = (pred == f).mean()
         return loss, {"acc": acc}
@@ -608,9 +664,10 @@ def main():
             rw = None
         return k_all, pl_all, fl_all, v_all, rw, sp_all
 
-    for i in range(args.steps * 2):
+    n_err = args.error_steps or args.steps * 2
+    for i in range(n_err):
         eparams, eopt, aux = estep(eparams, eopt, err_batch(i))
-        if i % max(args.steps // 3, 1) == 0 or i == args.steps * 2 - 1:
+        if i % max(n_err // 6, 1) == 0 or i == n_err - 1:
             log(f"[error-cascade] step {i} loss {float(aux['loss']):.4f} "
                 f"acc {float(aux['acc']):.4f}")
     err_ck = checkpoint.save_params(f"{args.artifacts}/params/error", eparams,

@@ -87,6 +87,9 @@ def main():
                          "with EE never learned — round-5 diagnosis)")
     ap.add_argument("--error-steps", type=int, default=None,
                     help="error-head cascade steps (default 2*--steps)")
+    ap.add_argument("--error-lr", type=float, default=None,
+                    help="error-head learning rate (default --lr); long "
+                         "fresh-head runs want a lower tail")
     ap.add_argument("--gain-profile", default=None,
                     help="probe_arm_gain.json with the promoted pose "
                          "front's measured per-fault/per-joint deflection "
@@ -491,7 +494,8 @@ def main():
         acc = (pred == f).mean()
         return loss, {"acc": acc}
 
-    estep = loops._make_step(err_loss, tx)
+    etx = optax.adamw(args.error_lr or args.lr, weight_decay=1e-4)
+    estep = loops._make_step(err_loss, etx)
     eparams = pipe.params["error"]
     if use_aux:
         # The aux block changes the head's feature dim; a checkpoint
@@ -507,7 +511,7 @@ def main():
             log("[error-cascade] feature dim changed (aux features): "
                 "re-initializing the error head")
             eparams = fresh
-    eopt = tx.init(eparams)
+    eopt = etx.init(eparams)
 
     # Infinite-stream batches: HALF each batch is FRESH synthetic clips
     # (new seed every step, AR(1) pose-noise) so the head cannot memorize a

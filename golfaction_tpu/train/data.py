@@ -1013,6 +1013,8 @@ def synth_modes(
     fault_miss_prob: float = 0.05,
     presence: Optional[np.ndarray] = None,
     canon_frac: Optional[np.ndarray] = None,
+    present_mask: Optional[np.ndarray] = None,
+    side_canon: Optional[np.ndarray] = None,
 ) -> np.ndarray:
     """Simulated secondary-mode features for synthetic cascade clips.
 
@@ -1061,6 +1063,20 @@ def synth_modes(
                             the ghost at -g·d.  Defaults to always
                             canonical-dominated (the chicken_wing
                             regime).
+    present_mask/side_canon [N, T, V] bool (optional, together): the
+                            bimodal FLICKER model.  Measured reality
+                            (probe_heatmap_modes): the per-frame argmax
+                            sits AT one of the two modes — canonical or
+                            true — not between them (the regressed
+                            "gain" is the flicker rate: chicken_wing
+                            canon_frac 0.62 <-> measured gain 0.38), so
+                            the runner-up offset is the FULL separation
+                            ±d, not the (1-g)·d remainder the smooth
+                            blend implies.  When given, these externally
+                            drawn masks replace the internal
+                            presence/canon_frac draws so the keypoint
+                            flicker and the aux channel stay consistent
+                            (scripts/cascade_finetune.py draws both).
 
     Returns [N, T, V, 4]: (dx, dy, rel_mass, sep) in image px.
     """
@@ -1083,20 +1099,32 @@ def synth_modes(
     off = np.stack([sep * np.cos(ang), sep * np.sin(ang)], axis=-1)
     present = rng.uniform(size=(N, T, V)) >= miss_prob
 
-    if defl_vec is not None and gain is not None:
-        g = np.broadcast_to(gain, (N, 1, V, 1)).astype(np.float32)
+    if defl_vec is not None and (gain is not None
+                                 or present_mask is not None):
         d = defl_vec.astype(np.float32)                       # [N, T, V, 2]
-        if canon_frac is None:
-            cf = np.ones((N, 1, V), np.float32)
+        if present_mask is not None and side_canon is not None:
+            # Flicker model: runner-up IS the other mode at full ±d.
+            sc = np.asarray(side_canon, bool)[..., None]
+            hidden = np.where(sc, d, -d)
+            f_present = np.asarray(present_mask, bool)
         else:
-            cf = np.broadcast_to(
-                np.asarray(canon_frac, np.float32), (N, 1, V))
-        side_canon = rng.uniform(size=(N, T, V, 1)) < cf[..., None]
-        # Canonical-dominated frame: selected ~ clean + g·d, runner-up at
-        # the truth -> +(1-g)·d.  Truth-dominated: runner-up is the ghost
-        # at clean -> -g·d.  The argmax flickers between the two across
-        # frames (probe: best_mode_rank alternates), hence per-frame draw.
-        hidden = np.where(side_canon, (1.0 - g) * d, -g * d)
+            g = np.broadcast_to(gain, (N, 1, V, 1)).astype(np.float32)
+            if canon_frac is None:
+                cf = np.ones((N, 1, V), np.float32)
+            else:
+                cf = np.broadcast_to(
+                    np.asarray(canon_frac, np.float32), (N, 1, V))
+            sc = rng.uniform(size=(N, T, V, 1)) < cf[..., None]
+            # Smooth-blend legacy: canonical-dominated frame -> runner-up
+            # toward truth at +(1-g)·d; truth-dominated -> ghost at -g·d.
+            hidden = np.where(sc, (1.0 - g) * d, -g * d)
+            if presence is None:
+                pres_p = np.full((N, 1, V), 1.0 - fault_miss_prob,
+                                 np.float32)
+            else:
+                pres_p = np.broadcast_to(
+                    np.asarray(presence, np.float32), (N, 1, V))
+            f_present = rng.uniform(size=(N, T, V)) < pres_p
         mag = np.linalg.norm(hidden, axis=-1)                 # [N, T, V]
         is_fault = mag > 2.0                                  # px threshold
         jit = rng.lognormal(0.0, 0.25, (N, T, V, 1))
@@ -1105,12 +1133,6 @@ def synth_modes(
         f_rel = np.clip(
             rng.uniform(0.3, 0.95, (N, 1, V))
             * rng.lognormal(0.0, 0.15, (N, T, V)), 0.05, 1.5)
-        if presence is None:
-            pres_p = np.full((N, 1, V), 1.0 - fault_miss_prob, np.float32)
-        else:
-            pres_p = np.broadcast_to(
-                np.asarray(presence, np.float32), (N, 1, V))
-        f_present = rng.uniform(size=(N, T, V)) < pres_p
         # Where the hidden mode is ABSENT (per the measured presence), the
         # joint keeps the clean noise floor — not a zeroed feature: the
         # runtime NMS always returns some runner-up peak.

@@ -598,6 +598,29 @@ def main():
         g = g[:, None, :, None]
         dfl = (fk - ck)[..., :2]           # FULL-strength deflection
         fk = ck + (fk - ck) * g
+        present = side = None
+        if use_modes:
+            # Bimodal FLICKER model for joints with a measured hidden
+            # mode: the decode's per-frame argmax sits AT the canonical
+            # or the true mode (probe_heatmap_modes), so on those joints
+            # the selected keypoint flickers clean<->clean+d with
+            # P(true) = 1 - canon_frac (whose mean reproduces the
+            # regressed probe gain), and the runner-up mode sits at the
+            # FULL ±d separation.  The smooth g-blend stays for
+            # unimodal (drift) joints.
+            pp_m = np.stack([
+                data.conditioned_presence(pres_tab, s.error_flags)
+                for s in fresh])[:, None, :]               # [N,1,V]
+            cc_m = np.stack([
+                data.conditioned_presence(canon_tab, s.error_flags,
+                                          default=1.0)
+                for s in fresh])[:, None, :]
+            present = rng_aug.uniform(size=fk.shape[:3]) < pp_m
+            side = rng_aug.uniform(size=fk.shape[:3]) < cc_m
+            flick_xy = ck[..., :2] + np.where(
+                (present & ~side)[..., None], dfl, 0.0)
+            fk[..., :2] = np.where(present[..., None], flick_xy,
+                                   fk[..., :2])
         nz = np.empty((half, T, fk.shape[2], 2), np.float32)
         nz[:, 0] = rng_aug.normal(0, 1.0, nz[:, 0].shape)
         for tt in range(1, T):
@@ -615,23 +638,15 @@ def main():
                                      defl_vec=dfl, gain=g,
                                      blur_iso=blur_iso, beta=bb)
         elif use_modes:
-            # Hidden mode consistent with the attenuation just applied:
-            # the decode took clean + g·d, the suppressed component sits
-            # at the (1-g)·d remainder — but ONLY for fault joints whose
-            # measured heatmaps are actually bimodal (conditioned_presence
-            # over probe_heatmap_modes; drift faults pass unimodally).
-            pp = np.stack([
-                data.conditioned_presence(pres_tab, s.error_flags)
-                for s in fresh])[:, None, :]
-            cc = np.stack([
-                data.conditioned_presence(canon_tab, s.error_flags,
-                                          default=1.0)
-                for s in fresh])[:, None, :]
-            sp_f = data.synth_modes(fk, rng_aug, defl_vec=dfl, gain=g,
+            # Aux consistent with the flicker just applied: runner-up at
+            # the full ±d on (present) bimodal joint-frames, measured
+            # noise floor elsewhere.
+            sp_f = data.synth_modes(fk, rng_aug, defl_vec=dfl,
                                     clean_rel=clean_rel,
                                     clean_sep=clean_sep,
-                                    miss_prob=mode_miss, presence=pp,
-                                    canon_frac=cc)
+                                    miss_prob=mode_miss,
+                                    present_mask=present,
+                                    side_canon=side)
         fk = jnp.asarray(fk)
         v_f = jnp.ones((half, T), bool)
         if refine_apply is not None:   # runtime parity: head sees refined

@@ -204,3 +204,24 @@ def test_presence_gating_and_profile(tmp_path):
                             miss_prob=0.0, presence=pres,
                             canon_frac=np.zeros((N, 1, V), np.float32))
     assert -16.0 < float(np.median(out2[..., 7, 0])) < -4.0
+
+
+def test_synth_modes_flicker_full_separation():
+    """Flicker model: with present/side masks the runner-up sits at the
+    FULL ±d separation (measured regime), not the (1-g)·d blend."""
+    rng = np.random.default_rng(3)
+    N, T, V = 4, 16, 17
+    kpts = rng.normal(300, 50, (N, T, V, 3)).astype(np.float32)
+    defl = np.zeros((N, T, V, 2), np.float32)
+    defl[..., 7, 0] = 30.0
+    present = np.zeros((N, T, V), bool); present[..., 7] = True
+    side = np.zeros((N, T, V), bool)
+    side[: N // 2, :, 7] = True         # canon-dominated half
+    out = data.synth_modes(kpts, rng, defl_vec=defl,
+                           clean_rel=np.full(V, 0.1, np.float32),
+                           clean_sep=np.full(V, 80.0, np.float32),
+                           miss_prob=0.0, present_mask=present,
+                           side_canon=side)
+    # Canon side: runner-up at +d (~30 px); truth side: ghost at -d.
+    assert 20.0 < float(np.median(out[: N // 2, :, 7, 0])) < 42.0
+    assert -42.0 < float(np.median(out[N // 2:, :, 7, 0])) < -20.0
